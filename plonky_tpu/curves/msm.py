@@ -1,0 +1,132 @@
+"""Multi-scalar multiplication (Pippenger), dense and branch-free.
+
+Replaces the reference's digit-multimap Yao method
+(reference: src/curve/curve_msm.rs:63-157, pointer-chasing and rayon-chunked)
+with a sort + segmented-scan bucket accumulation that is fully static-shaped
+and batched -- the TPU-native restructuring called for by SURVEY.md P2.
+
+Pipeline per window (all under one jit, windows processed by lax.scan):
+  1. extract c-bit digits from canonical scalar bits
+  2. argsort points by digit
+  3. segmented inclusive scan with the complete-addition combiner
+     (log2 N batched point adds) -> per-segment sums at segment ends
+  4. gather bucket sums, reduce  sum_j j*B_j  via a reversed cumulative
+     point-add and a tree reduction
+  5. Horner combine across windows (c doublings per window)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import ops as fops
+from . import ops as cops
+from .spec import CurveSpec
+
+
+def scalar_window_digits(spec, scalars: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Canonical scalars [Ds, N] -> window digits [n_windows, N] (LSW first)."""
+    n_bits = spec.bits
+    n_windows = -(-n_bits // c)
+    bits = fops.to_bits(spec, scalars, n_windows * c)  # [n_windows*c, N]
+    bits = bits.reshape(n_windows, c, *scalars.shape[1:])
+    weights = jnp.asarray([1 << k for k in range(c)], dtype=jnp.int32)
+    return jnp.einsum('wc...,c->w...', bits, weights)
+
+
+def _segmented_add_scan(curve: CurveSpec, pts: cops.Point, first_flags: jnp.ndarray):
+    """Inclusive segmented scan along the batch axis with point addition.
+
+    first_flags[i] = 1 iff element i starts a new segment.  Returns the
+    running per-segment sums (value at the last index of a segment is that
+    segment's total).
+    """
+    def combine(a, b):
+        pa, fa = a
+        pb, fb = b
+        merged = cops.add(curve, pa, pb)
+        out = cops.select(fb[0].astype(bool), pb, merged)
+        return out, fa | fb
+
+    # All scan-pytree leaves must share the scan axis: lift flags to [1, N].
+    flags2d = first_flags[None, :]
+    (X, Y, Z), _ = jax.lax.associative_scan(
+        combine, (pts, flags2d), axis=pts[0].ndim - 1)
+    return (X, Y, Z)
+
+
+def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:
+    """Sum a batch of points [.., N] down to a single point via halving."""
+    X, Y, Z = pts
+    n = X.shape[-1]
+    while n > 1:
+        half = n // 2
+        even = (X[..., :2 * half:2], Y[..., :2 * half:2], Z[..., :2 * half:2])
+        odd = (X[..., 1:2 * half:2], Y[..., 1:2 * half:2], Z[..., 1:2 * half:2])
+        summed = cops.add(curve, even, odd)
+        if n % 2:
+            tail = (X[..., -1:], Y[..., -1:], Z[..., -1:])
+            summed = tuple(jnp.concatenate([s, t], axis=-1)
+                           for s, t in zip(summed, tail))
+            n = half + 1
+        else:
+            n = half
+        X, Y, Z = summed
+    return (X[..., 0], Y[..., 0], Z[..., 0])
+
+
+def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
+        window_bits: int = 8) -> cops.Point:
+    """MSM over projective points [D, N] x canonical scalars [Ds, N]."""
+    c = window_bits
+    n_buckets = 1 << c
+    digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, N]
+    n_windows = digits.shape[0]
+    N = digits.shape[1]
+
+    def window_sum(dig):
+        order = jnp.argsort(dig)
+        d_sorted = dig[order]
+        pts = tuple(t[:, order] for t in points)
+        first = jnp.concatenate([
+            jnp.ones((1,), jnp.int32),
+            (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
+        scanned = _segmented_add_scan(curve, pts, first)
+        # last position of each bucket's run
+        pos = jnp.searchsorted(d_sorted, jnp.arange(n_buckets), side='right') - 1
+        present = jnp.searchsorted(d_sorted, jnp.arange(n_buckets), side='left') <= pos
+        ident = cops.identity(curve, (n_buckets,))
+        buckets = cops.select(
+            present, tuple(t[:, jnp.clip(pos, 0, N - 1)] for t in scanned), ident)
+        # zero out bucket 0 (digit 0 contributes nothing)
+        mask0 = jnp.arange(n_buckets) > 0
+        buckets = cops.select(mask0, buckets, ident)
+        # sum_j j * B_j: reversed cumulative sums then total
+        def comb(a, b):
+            return cops.add(curve, a, b)
+        T = jax.lax.associative_scan(comb, buckets, axis=buckets[0].ndim - 1,
+                                     reverse=True)
+        # sum_j j*B_j = sum_{k>=1} T_k (T_0 would double-count)
+        T = tuple(t[..., 1:] for t in T)
+        return _tree_reduce(curve, T)
+
+    def scan_body(carry, dig):
+        # process windows from most significant: carry = 2^c * carry + W
+        for _ in range(c):
+            carry = cops.double(curve, carry)
+        w = window_sum(dig)
+        carry = cops.add(curve, carry, w)
+        return carry, None
+
+    init = cops.identity(curve)
+    result, _ = jax.lax.scan(scan_body, init, digits[::-1])
+    return result
+
+
+@functools.lru_cache(maxsize=None)
+def msm_jit(curve: CurveSpec, window_bits: int):
+    return jax.jit(functools.partial(msm, curve, window_bits=window_bits))

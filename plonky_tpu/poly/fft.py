@@ -1,0 +1,135 @@
+"""Batched radix-2 FFT over prime fields on device.
+
+Replaces the reference's rayon-chunked butterfly loops
+(reference: src/fft.rs:103-156) with layer-vectorized butterflies over the
+whole domain: each of the log2(n) layers is ONE batched field multiply plus
+an add/sub pair -- the natural TPU formulation (SURVEY.md P1).  Twiddle
+tables are precomputed per (field, size) like the reference's
+`FftPrecomputation` (src/fft.rs:28-59).
+
+Supports leading poly-batch dims: values shaped [D, ..., n] with the domain
+axis LAST (lanes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import host as fhost
+from ..fields import ops as fops
+from ..fields.spec import FieldSpec
+from ..utils import log2_strict
+
+
+@functools.lru_cache(maxsize=None)
+class FftPrecomputation:
+    """Twiddle tables for a size-n FFT over `spec` (n a power of two)."""
+
+    def __init__(self, spec: FieldSpec, n: int):
+        self.spec = spec
+        self.n = n
+        self.lg_n = log2_strict(n)
+        self.g = fhost.primitive_root_of_unity(spec, self.lg_n)
+        self.g_inv = pow(self.g, -1, spec.p)
+        self.n_inv = pow(n, -1, spec.p)
+        # Layer ell has half-size m = 2^ell and needs [w^(n/2m)^j, j < m].
+        p = spec.p
+        self.twiddles = []
+        self.twiddles_inv = []
+        for ell in range(self.lg_n):
+            m = 1 << ell
+            w = pow(self.g, n // (2 * m), p)
+            wi = pow(self.g_inv, n // (2 * m), p)
+            tw, twi, cw, cwi = [], [], 1, 1
+            for _ in range(m):
+                tw.append(cw)
+                twi.append(cwi)
+                cw = cw * w % p
+                cwi = cwi * wi % p
+            self.twiddles.append(np.asarray(
+                np.stack([spec.to_digits(v) for v in tw], axis=-1)))
+            self.twiddles_inv.append(np.asarray(
+                np.stack([spec.to_digits(v) for v in twi], axis=-1)))
+        # bit-reversal permutation
+        idx = np.arange(n)
+        rev = np.zeros(n, dtype=np.int64)
+        for b in range(self.lg_n):
+            rev |= ((idx >> b) & 1) << (self.lg_n - 1 - b)
+        self.bit_rev = rev
+        self.n_inv_digits = spec.to_digits(self.n_inv)
+
+    @functools.cached_property
+    def subgroup(self):
+        """[1, g, g^2, ...] as python ints (host)."""
+        return fhost.cyclic_subgroup_known_order(self.spec, self.g, self.n)
+
+
+def _fft_core(pre: FftPrecomputation, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    spec, n = pre.spec, pre.n
+    assert x.shape[-1] == n
+    lead = x.shape[1:-1]
+    x = x[..., pre.bit_rev]
+    for ell in range(pre.lg_n):
+        m = 1 << ell
+        tw = jnp.asarray(pre.twiddles_inv[ell] if inverse else pre.twiddles[ell])
+        # reshape domain axis: [.., n/(2m), 2, m]
+        y = x.reshape(*x.shape[:-1], n // (2 * m), 2, m)
+        even = y[..., 0, :]
+        odd = y[..., 1, :]
+        # broadcast twiddles [D, m] over [D, .., n/2m, m]
+        twb = tw.reshape((spec.n_digits,) + (1,) * (even.ndim - 2) + (m,))
+        t = fops.mul(spec, odd, twb)
+        out0 = fops.add(spec, even, t)
+        out1 = fops.sub(spec, even, t)
+        x = jnp.concatenate([out0[..., None, :], out1[..., None, :]],
+                            axis=-2).reshape(*x.shape[:-1], n)
+    if inverse:
+        ninv = jnp.asarray(pre.n_inv_digits).reshape(
+            (spec.n_digits,) + (1,) * (x.ndim - 1))
+        x = fops.mul(spec, x, ninv)
+    return x
+
+
+def fft(pre: FftPrecomputation, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Coefficients -> evaluations over the order-n subgroup [g^0..g^(n-1)]."""
+    return _fft_core(pre, coeffs, inverse=False)
+
+
+def ifft(pre: FftPrecomputation, values: jnp.ndarray) -> jnp.ndarray:
+    """Evaluations -> coefficients (reference: src/fft.rs:82-101)."""
+    return _fft_core(pre, values, inverse=True)
+
+
+def powers_device(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
+    """[base^0, .., base^(n-1)] as [D, n], computed with log2(n) batched muls."""
+    lg = max(1, (n - 1).bit_length())
+    sq = []
+    cur = base % spec.p
+    for _ in range(lg):
+        sq.append(cur)
+        cur = cur * cur % spec.p
+    idx = jnp.arange(n, dtype=jnp.int32)
+    acc = fops.constant(spec, 1, (n,))
+    for j in range(lg):
+        bit = (idx >> j) & 1
+        acc = fops.select(bit, fops.mul(
+            spec, acc, fops.constant(spec, sq[j], (n,))), acc)
+    return acc
+
+
+def coset_fft(pre: FftPrecomputation, coeffs: jnp.ndarray, shift: int) -> jnp.ndarray:
+    """Evaluations over the coset shift*H: scale coeff i by shift^i, then FFT."""
+    powers = powers_device(pre.spec, shift, pre.n)
+    powb = powers.reshape((pre.spec.n_digits,) + (1,) * (coeffs.ndim - 2) + (pre.n,))
+    return fft(pre, fops.mul(pre.spec, coeffs, powb))
+
+
+def coset_ifft(pre: FftPrecomputation, values: jnp.ndarray, shift: int) -> jnp.ndarray:
+    coeffs = ifft(pre, values)
+    powers = powers_device(pre.spec, pow(shift, -1, pre.spec.p), pre.n)
+    powb = powers.reshape((pre.spec.n_digits,) + (1,) * (coeffs.ndim - 2) + (pre.n,))
+    return fops.mul(pre.spec, coeffs, powb)

@@ -1,0 +1,271 @@
+"""Halo inner-product argument: batched opening proof and verification
+(reference: src/halo.rs).
+
+Host drives the sequential log(n) round structure and the transcript /
+retry loop (blinding until n(r) is a square, reference: halo.rs:82-114);
+the vector work per round (inner products, scalar combinations, MSMs, G
+folding) runs on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..curves import host as chost
+from ..curves import msm as cmsm
+from ..curves import ops as cops
+from ..curves.spec import CurveSpec
+from ..fields import host as fhost
+from ..fields import ops as fops
+from ..poly.fft import powers_device
+from .plonk_util import (
+    halo_n,
+    halo_n_mul,
+    powers,
+    reduce_with_powers,
+    scalar_to_bits_le,
+    try_convert,
+)
+from .proof import SchnorrProof
+
+# Deterministic-test hook (blinding factors + schnorr nonces).
+RANDOM_SOURCE = lambda p: secrets.randbelow(p)
+
+IPA_MSM_WINDOW = 8
+
+
+@dataclass
+class OpeningProof:
+    halo_l: List[chost.AffinePoint]
+    halo_r: List[chost.AffinePoint]
+    halo_g: chost.AffinePoint
+    schnorr_proof: SchnorrProof
+
+
+def _inner_product_device(spec, a: jnp.ndarray, b: jnp.ndarray) -> int:
+    prod = fops.mul(spec, a, b)
+    s = fops.sum_reduce(spec, prod, 0)
+    return fops.to_ints(spec, s)
+
+
+def _scale_add_device(spec, ca_d: jnp.ndarray, a: jnp.ndarray,
+                      cb_d: jnp.ndarray, b: jnp.ndarray):
+    """ca * a + cb * b elementwise over [D, m] vectors, fused.
+    ca_d/cb_d are [D, 1] device constants (runtime args so the per-round
+    scalars don't force recompilation)."""
+    return fops.product_sum(spec, [
+        (ca_d, 255, a, 255, 1),
+        (cb_d, 255, b, 255, 1),
+    ])
+
+
+def _fold_points_device(curve, bits_inv: jnp.ndarray, g_lo: cops.Point,
+                        bits_u: jnp.ndarray, g_hi: cops.Point) -> cops.Point:
+    """u_inv * g_lo + u * g_hi, batched over the point axis; scalars given
+    as little-endian bit columns [nbits, 1]."""
+    nb = bits_inv.shape[0]
+    m = g_lo[0].shape[-1]
+    lo = cops.scalar_mul_bits(curve, g_lo, jnp.broadcast_to(bits_inv, (nb, m)))
+    hi = cops.scalar_mul_bits(curve, g_hi, jnp.broadcast_to(bits_u, (nb, m)))
+    return cops.add(curve, lo, hi)
+
+
+@functools.lru_cache(maxsize=None)
+def _scale_add_jit(spec):
+    return jax.jit(functools.partial(_scale_add_device, spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_points_jit(curve):
+    return jax.jit(functools.partial(_fold_points_device, curve))
+
+
+def _sc(spec, v: int) -> jnp.ndarray:
+    return jnp.asarray(spec.to_digits(v))[:, None]
+
+
+def _bits_col(spec, v: int) -> jnp.ndarray:
+    return jnp.asarray([[(v >> i) & 1] for i in range(spec.bits)],
+                       dtype=jnp.int32)
+
+
+def batch_opening_proof(
+    circuit_or_none,
+    polynomials_coeffs: jnp.ndarray,   # [D, K, n] device
+    commitments_randomness: List[int],
+    opening_points: List[int],
+    pedersen_g_dev: cops.Point,        # [D, n] device projective
+    pedersen_h: chost.AffinePoint,
+    u_curve: chost.AffinePoint,
+    u: int,
+    v: int,
+    u_scaling: int,
+    degree: int,
+    security_bits: int,
+    challenger,
+    curve: CurveSpec,
+) -> OpeningProof:
+    """reference: src/halo.rs:16-141."""
+    sf = curve.scalar
+    p = sf.p
+    K = polynomials_coeffs.shape[1]
+
+    # n(u^i) scalars (reference: halo.rs:33-38)
+    actual_scalars = [
+        halo_n(curve, scalar_to_bits_le(ui, security_bits))
+        for ui in powers(sf, u, K)
+    ]
+
+    # reduce all coefficient vectors into one: sum_i n(u^i) * coeffs_i
+    scal_dev = jnp.stack([jnp.asarray(sf.to_digits(s))
+                          for s in actual_scalars], axis=1)  # [D, K]
+    halo_a = jax.jit(lambda polys, sc: fops.product_sum(sf, [
+        (sc[:, i:i + 1], 255, polys[:, i], 255, 1)
+        for i in range(K)]))(polynomials_coeffs, scal_dev)
+
+    u_prime = halo_n_mul(curve, scalar_to_bits_le(u_scaling, security_bits),
+                         u_curve)
+
+    # halo_b: v-weighted combination of powers of the opening points
+    # (reference: halo.rs:143-155)
+    halo_b = jax.jit(lambda: _build_halo_b(sf, opening_points, v, degree))()
+
+    halo_g_dev = pedersen_g_dev
+    halo_l: List[chost.AffinePoint] = []
+    halo_r: List[chost.AffinePoint] = []
+    randomness = 0
+    for s, r in zip(actual_scalars, commitments_randomness):
+        randomness = (randomness + s * r) % p
+
+    degree_pow = degree.bit_length() - 1
+    from .circuit import device_point_to_host
+
+    msm_small = cmsm.msm_jit(curve, IPA_MSM_WINDOW)
+
+    for j in range(degree_pow, 0, -1):
+        n = 1 << j
+        middle = n // 2
+        a_lo, a_hi = halo_a[:, :middle], halo_a[:, middle:n]
+        b_lo, b_hi = halo_b[:, :middle], halo_b[:, middle:n]
+        g_lo = tuple(t[:, :middle] for t in halo_g_dev)
+        g_hi = tuple(t[:, middle:n] for t in halo_g_dev)
+
+        # device: the two MSMs and inner products of this round
+        a_lo_c = fops.jitted('canonicalize', sf)(a_lo)
+        a_hi_c = fops.jitted('canonicalize', sf)(a_hi)
+        l_msm = device_point_to_host(curve, msm_small(g_hi, a_lo_c))
+        r_msm = device_point_to_host(curve, msm_small(g_lo, a_hi_c))
+        ip_lo_hi = _inner_product_device(sf, a_lo, b_hi)
+        ip_hi_lo = _inner_product_device(sf, a_hi, b_lo)
+
+        while True:
+            l_blind = RANDOM_SOURCE(p)
+            r_blind = RANDOM_SOURCE(p)
+            halo_l_j = chost.add(chost.add(l_msm, chost.mul(pedersen_h, l_blind)),
+                                 chost.mul(u_prime, ip_lo_hi))
+            halo_r_j = chost.add(chost.add(r_msm, chost.mul(pedersen_h, r_blind)),
+                                 chost.mul(u_prime, ip_hi_lo))
+            fork = _clone_challenger(challenger)
+            fork.observe_affine_points([halo_l_j, halo_r_j])
+            r_bf = fork.get_challenge()
+            r_sf = try_convert(r_bf, sf)
+            u_j_squared = halo_n(curve, scalar_to_bits_le(r_sf, security_bits))
+            u_j = fhost.square_root(sf, u_j_squared)
+            if u_j is not None:
+                u_sq_inv = pow(u_j_squared, -1, p)
+                halo_l.append(halo_l_j)
+                halo_r.append(halo_r_j)
+                randomness = (randomness + u_j_squared * l_blind
+                              + u_sq_inv * r_blind) % p
+                _copy_challenger(fork, challenger)
+                break
+
+        u_j_inv = pow(u_j, -1, p)
+        # a' = u^-1 a_hi + u a_lo ; b' = u^-1 b_lo + u b_hi (halo.rs:117-123)
+        sa = _scale_add_jit(sf)
+        halo_a = sa(_sc(sf, u_j_inv), a_hi, _sc(sf, u_j), a_lo)
+        halo_b = sa(_sc(sf, u_j_inv), b_lo, _sc(sf, u_j), b_hi)
+        halo_g_dev = _fold_points_jit(curve)(
+            _bits_col(sf, u_j_inv), g_lo, _bits_col(sf, u_j), g_hi)
+
+    halo_g_pt = device_point_to_host(curve, tuple(t[:, 0] for t in halo_g_dev))
+    a0 = fops.to_ints(sf, halo_a[:, 0])
+    b0 = fops.to_ints(sf, halo_b[:, 0])
+
+    schnorr = schnorr_protocol(curve, a0, b0, halo_g_pt, randomness,
+                               u_prime, pedersen_h, challenger)
+    return OpeningProof(halo_g=halo_g_pt, halo_l=halo_l, halo_r=halo_r,
+                        schnorr_proof=schnorr)
+
+
+def _build_halo_b(spec, points, v, degree):
+    """b_i = sum_j v^j point_j^i (reference: halo.rs:143-155)."""
+    terms = []
+    vp = 1
+    for pt in points:
+        pw = powers_device(spec, pt, degree)
+        c = fops.constant(spec, vp, ())[:, None]
+        terms.append((c, 255, pw, 255, 1))
+        vp = vp * v % spec.p
+    return fops.product_sum(spec, terms)
+
+
+def schnorr_protocol(curve, halo_a: int, halo_b: int,
+                     halo_g: chost.AffinePoint, randomness: int,
+                     u_prime: chost.AffinePoint, pedersen_h: chost.AffinePoint,
+                     challenger) -> SchnorrProof:
+    """reference: halo.rs:157-182."""
+    sf = curve.scalar
+    p = sf.p
+    d = RANDOM_SOURCE(p)
+    s = RANDOM_SOURCE(p)
+    r_curve = chost.add(
+        chost.mul(chost.add(halo_g, chost.mul(u_prime, halo_b)), d),
+        chost.mul(pedersen_h, s))
+    challenger.observe_affine_point(r_curve)
+    chall = try_convert(challenger.get_challenge(), sf)
+    z1 = (halo_a * chall + d) % p
+    z2 = (randomness * chall + s) % p
+    return SchnorrProof(r=r_curve, z1=z1, z2=z2)
+
+
+def verify_ipa(curve, halo_l, halo_r, halo_g, commitment, value, halo_b,
+               halo_us, u_prime, pedersen_h, schnorr_challenge,
+               schnorr_proof) -> bool:
+    """reference: halo.rs:186-223 (host: the point count is ~2 log n)."""
+    sf = curve.scalar
+    p = sf.p
+    p_prime = chost.add(commitment, chost.mul(u_prime, value))
+    q = p_prime
+    for l, u_j in zip(halo_l, halo_us):
+        q = chost.add(q, chost.mul(l, u_j * u_j % p))
+    for r, u_j in zip(halo_r, halo_us):
+        inv = pow(u_j, -1, p)
+        q = chost.add(q, chost.mul(r, inv * inv % p))
+    lhs = chost.add(chost.mul(q, schnorr_challenge), schnorr_proof.r)
+    rhs = chost.add(
+        chost.mul(chost.add(halo_g, chost.mul(u_prime, halo_b)),
+                  schnorr_proof.z1),
+        chost.mul(pedersen_h, schnorr_proof.z2))
+    return lhs == rhs
+
+
+def _clone_challenger(ch):
+    from ..hashing.challenger import Challenger
+    fork = Challenger(ch.spec, ch.security_bits)
+    fork.sponge_state = list(ch.sponge_state)
+    fork.input_buffer = list(ch.input_buffer)
+    fork.output_buffer = list(ch.output_buffer)
+    return fork
+
+
+def _copy_challenger(src, dst):
+    dst.sponge_state = list(src.sponge_state)
+    dst.input_buffer = list(src.input_buffer)
+    dst.output_buffer = list(src.output_buffer)

@@ -1,0 +1,385 @@
+"""The prover: generate_proof (reference: src/plonk.rs:84-456).
+
+Pipeline (SURVEY.md section 3.3), TPU mapping:
+  host transcript <-> device bulk math (FFT/LDE, MSM commitments, the
+  8n-point vanishing-polynomial evaluation with all ten gates fused, the
+  permutation-polynomial cumulative product, polynomial openings, IPA).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.algebra import BatchAlgebra
+from ..circuit.gates import evaluate_all_constraints
+from ..circuit.partition import get_subgroup_shift
+from ..circuit.target import GRID_WIDTH, NUM_ROUTED_WIRES, NUM_WIRES
+from ..circuit.witness import Witness
+from ..fields import ops as fops
+from ..hashing.challenger import Challenger
+from ..poly.fft import coset_fft, coset_ifft, fft, ifft, powers_device
+from ..poly.polynomial import divide_by_z_h, eval_at
+from ..utils import ceil_div
+from . import halo as halo_mod
+from .circuit import Circuit, ints_to_device_matrix
+from .plonk_util import try_convert
+from .proof import OpeningSet, Proof
+
+QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER = 7
+
+
+def generate_proof(circuit: Circuit, witness: Witness,
+                   old_proofs: List = (), blinding: bool = True) -> Proof:
+    curve = circuit.curve
+    sf = circuit.spec
+    bf = curve.base
+    p = sf.p
+    n = circuit.degree()
+    challenger = Challenger(bf, circuit.security_bits)
+
+    # --- wires -> polynomials -> 8n LDE (plonk.rs:93-97) -----------------
+    wire_values = witness.transpose()          # host [9][n]
+    wires_dev = ints_to_device_matrix(sf, wire_values)   # [D, 9, n]
+    wire_polys = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_dev)
+    wires_8n = _lde(circuit, wire_polys)
+
+    # --- commit wires (plonk.rs:100-105) ----------------------------------
+    c_wires = circuit.commit_engine.commit_many(
+        wire_polys, blinding, halo_mod.RANDOM_SOURCE)
+
+    num_pi_gates = ceil_div(circuit.num_public_inputs, NUM_WIRES)
+    # wire polynomials with PI-gate rows zeroed (plonk.rs:109-118)
+    wire_values_no_pis = [list(col) for col in wire_values]
+    for w in wire_values_no_pis:
+        for i in range(num_pi_gates):
+            w[circuit.num_gates_without_pis + 2 * i] = 0
+    wires_no_pis_dev = ints_to_device_matrix(sf, wire_values_no_pis)
+    wire_polys_no_pis = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_no_pis_dev)
+
+    # --- beta, gamma -------------------------------------------------------
+    challenger.observe_affine_points([c.commitment for c in c_wires])
+    beta_bf, gamma_bf = challenger.get_2_challenges()
+    beta = try_convert(beta_bf, sf)
+    gamma = try_convert(gamma_bf, sf)
+
+    # --- permutation polynomial Z (plonk_util.rs:234-262) ------------------
+    z_values = _permutation_polynomial(circuit, wires_dev, beta, gamma)
+    z_poly = jax.jit(lambda v: ifft(circuit.fft_n, v))(z_values)
+    c_z = circuit.commit_engine.commit_many(
+        z_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
+
+    challenger.observe_affine_point(c_z.commitment)
+    alpha = try_convert(challenger.get_challenge(), sf)
+
+    # --- vanishing polynomial at 8n points (plonk.rs:375-456) --------------
+    vanishing_coeffs = _vanishing_poly(circuit, wires_8n, z_poly,
+                                       alpha, beta, gamma)
+
+    # --- t = vanishing / Z_H, split into 7 chunks (plonk.rs:170-197) --------
+    t_coeffs = jax.jit(lambda c: divide_by_z_h(sf, c, n))(vanishing_coeffs)
+    # split into 7 degree-n chunks (the quotient has degree < 7n)
+    t_chunks = t_coeffs[:, :QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER * n].reshape(
+        sf.n_digits, QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER, n)
+    c_t = circuit.commit_engine.commit_many(
+        t_chunks, blinding, halo_mod.RANDOM_SOURCE)
+
+    # --- public-input quotient (plonk.rs:200-235) ---------------------------
+    pi_quotient_poly = _pi_quotient(circuit, wire_polys_no_pis, alpha,
+                                    num_pi_gates)
+    c_pi_quotient = circuit.commit_engine.commit_many(
+        pi_quotient_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
+
+    public_inputs = circuit.get_public_inputs(witness)
+
+    # --- zeta ---------------------------------------------------------------
+    challenger.observe_affine_points([c.commitment for c in c_t])
+    challenger.observe_affine_point(c_pi_quotient.commitment)
+    challenger.observe_elements([try_convert(pi, bf) for pi in public_inputs])
+    for old in old_proofs:
+        challenger.observe_affine_point(old.halo_g)
+    zeta = try_convert(challenger.get_challenge(), sf)
+
+    # --- open all polynomials at zeta, g zeta, g^65 zeta (plonk.rs:260-284) -
+    g = circuit.subgroup_generator_n
+    opening_points = [
+        zeta,
+        zeta * g % p,
+        zeta * pow(g, GRID_WIDTH, p) % p,
+    ]
+    old_g_polys = [ints_to_device_matrix(sf, [op.coeffs(sf)])[:, 0]
+                   for op in old_proofs]
+    all_polys = _stack_polys(circuit, wire_polys, z_poly, t_chunks,
+                             old_g_polys, pi_quotient_poly)
+    opening_sets = [
+        _open_all(circuit, all_polys, old_proofs, pt) for pt in opening_points
+    ]
+    o_local, o_right, o_below = opening_sets
+
+    all_opened_bf = []
+    for os_ in opening_sets:
+        for f in os_.to_vec():
+            all_opened_bf.append(try_convert(f, bf))
+    challenger.observe_elements(all_opened_bf)
+    v_bf, u_bf, u_scaling_bf = challenger.get_3_challenges()
+    v = try_convert(v_bf, sf)
+    u = try_convert(u_bf, sf)
+    u_scaling = try_convert(u_scaling_bf, sf)
+
+    # commitment randomness in OpeningSet::to_vec order
+    all_randomness = ([c.randomness for c in circuit.c_constants]
+                      + [c.randomness for c in circuit.c_s_sigmas]
+                      + [c.randomness for c in c_wires]
+                      + [c_z.randomness]
+                      + [c.randomness for c in c_t]
+                      + [0] * len(old_proofs)
+                      + [c_pi_quotient.randomness])
+
+    opening_proof = halo_mod.batch_opening_proof(
+        None, all_polys, all_randomness, opening_points,
+        circuit.commit_engine.g_dev, circuit.pedersen_h, circuit.u,
+        u, v, u_scaling, n, circuit.security_bits, challenger, curve)
+
+    return Proof(
+        c_wires=[c.commitment for c in c_wires],
+        c_plonk_z=c_z.commitment,
+        c_plonk_t=[c.commitment for c in c_t],
+        c_pis_quotient=c_pi_quotient.commitment,
+        o_local=o_local,
+        o_right=o_right,
+        o_below=o_below,
+        halo_l=opening_proof.halo_l,
+        halo_r=opening_proof.halo_r,
+        halo_g=opening_proof.halo_g,
+        schnorr_proof=opening_proof.schnorr_proof,
+    )
+
+
+def _lde(circuit: Circuit, coeffs: jnp.ndarray) -> jnp.ndarray:
+    n8 = circuit.fft_8n.n
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n8 - coeffs.shape[-1])]
+    return jax.jit(lambda c: fft(circuit.fft_8n, jnp.pad(c, pad)))(coeffs)
+
+
+def _permutation_polynomial(circuit: Circuit, wires_dev: jnp.ndarray,
+                            beta: int, gamma: int) -> jnp.ndarray:
+    """Z running product, fully on device: per-point numerator/denominator
+    over the 6 routed wires, batched inverse, then a cumulative product
+    (associative scan with field multiply) -- the prefix-scan formulation of
+    the reference's sequential loop (plonk_util.rs:242-261)."""
+    sf = circuit.spec
+    p = sf.p
+    n = circuit.degree()
+    k_is = [get_subgroup_shift(sf, j) for j in range(NUM_ROUTED_WIRES)]
+    subgroup = ints_to_device_matrix(sf, [circuit.subgroup_n])[:, 0]  # [D, n]
+    sigma_dev = ints_to_device_matrix(sf, circuit.sigma_values_n)     # [D, 6, n]
+
+    def compute(wires, subgroup_d, sigma_d):
+        beta_d = fops.constant(sf, beta, ())[:, None]
+        gamma_d = fops.constant(sf, gamma, (n,))
+        num = None
+        den = None
+        for j in range(NUM_ROUTED_WIRES):
+            w = wires[:, j]
+            s_id = fops.product_sum(sf, [
+                (fops.constant(sf, k_is[j] * beta % p, ())[:, None], 255,
+                 subgroup_d, 255, 1)])
+            f_term = fops.product_sum(sf, [
+                (w, 255, None, 0, 1),
+                (s_id, 255, None, 0, 1),
+                (gamma_d, 255, None, 0, 1)])
+            s_sig = fops.product_sum(sf, [
+                (beta_d, 255, sigma_d[:, j], 255, 1)])
+            g_term = fops.product_sum(sf, [
+                (w, 255, None, 0, 1),
+                (s_sig, 255, None, 0, 1),
+                (gamma_d, 255, None, 0, 1)])
+            num = f_term if num is None else fops.mul(sf, num, f_term)
+            den = g_term if den is None else fops.mul(sf, den, g_term)
+        ratio = fops.mul(sf, num, fops.inverse(sf, den))
+        # cumulative product, exclusive: Z_0 = 1, Z_i = prod_{l<i} ratio_l
+        def comb(a, b):
+            return fops.mul(sf, a, b)
+        inclusive = jax.lax.associative_scan(comb, ratio, axis=ratio.ndim - 1)
+        one = fops.constant(sf, 1, (1,))
+        return jnp.concatenate([one, inclusive[:, :-1]], axis=-1)
+
+    return jax.jit(compute)(wires_dev, subgroup, sigma_dev)
+
+
+def _vanishing_poly(circuit: Circuit, wires_8n: jnp.ndarray,
+                    z_poly: jnp.ndarray, alpha: int, beta: int,
+                    gamma: int) -> jnp.ndarray:
+    """Evaluate all filtered gate constraints + permutation terms at all 8n
+    points, fold by powers of alpha, interpolate (reference: plonk.rs:375-456).
+    This is the prover's biggest compute (SURVEY.md P4): one fused batched
+    evaluation over the [8n] lane axis."""
+    sf = circuit.spec
+    p = sf.p
+    n = circuit.degree()
+    n8 = 8 * n
+    k_is = [get_subgroup_shift(sf, j) for j in range(NUM_ROUTED_WIRES)]
+
+    # host-precomputed L_1(x) and subgroup_8n (cheap closed forms)
+    g8 = circuit.subgroup_generator_8n
+    subgroup_8n = [0] * n8
+    cur = 1
+    for i in range(n8):
+        subgroup_8n[i] = cur
+        cur = cur * g8 % p
+    from .plonk_util import eval_l_1
+    l1_vals = [eval_l_1(sf, n, x) for x in subgroup_8n[:8]]  # periodic? no!
+    # L_1 is NOT 8-periodic; compute for all points (host, ~8n modexps would
+    # be slow) -> compute on device instead:
+    #   L_1(x) = (x^n - 1) / (n (x - 1)), special-cased at x = 1 (index 0).
+    sub8_dev = ints_to_device_matrix(sf, [subgroup_8n])[:, 0]   # [D, 8n]
+    # x^n over the 8n subgroup is 8-periodic: (g8^i)^n = (g8^n)^i
+    g8n = pow(g8, n, p)
+    xn_vals = [pow(g8n, i % 8, p) for i in range(n8)]
+    xn_minus_1 = [(v - 1) % p for v in xn_vals]
+
+    def compute(wires8, z_coeffs, consts8, sigma8, sub8):
+        # z on the 8n domain, plus its g-shifted version (shift by 8)
+        z8 = fft(circuit.fft_8n,
+                 jnp.pad(z_coeffs, [(0, 0), (0, n8 - z_coeffs.shape[-1])]))
+        z8_right = jnp.roll(z8, -8, axis=-1)
+        wires_right = jnp.roll(wires8, -8, axis=-1)
+        wires_below = jnp.roll(wires8, -8 * GRID_WIDTH, axis=-1)
+
+        alg = BatchAlgebra(sf, (n8,))
+        lc = [alg.wrap(consts8[:, j]) for j in range(consts8.shape[1])]
+        lw = [alg.wrap(wires8[:, j]) for j in range(NUM_WIRES)]
+        rw = [alg.wrap(wires_right[:, j]) for j in range(NUM_WIRES)]
+        bw = [alg.wrap(wires_below[:, j]) for j in range(NUM_WIRES)]
+
+        constraint_terms = evaluate_all_constraints(alg, circuit.ctx,
+                                                    lc, lw, rw, bw)
+
+        # L_1(x) (z(x) - 1)
+        one = alg.one()
+        xn_m1 = alg.wrap(ints_to_device_matrix(sf, [xn_minus_1])[:, 0])
+        x_m1 = alg.sub(alg.wrap(sub8), one)
+        denom = alg.mul_const(n, x_m1)
+        denom_inv = (fops.inverse(sf, alg.unwrap(denom)), 255)
+        l1 = alg.mul(xn_m1, denom_inv)
+        # fix index 0 (x = 1): L_1(1) = 1.  1/(x-1) is inverse(0)=0 there, so
+        # l1[0] is 0; add indicator to make it 1.
+        ind = np.zeros(n8, dtype=np.int32)
+        ind[0] = 1
+        l1 = alg.add(l1, alg.wrap(
+            fops.constant(sf, 1, (n8,)) * jnp.asarray(ind)))
+        z_term = alg.mul(l1, alg.sub(alg.wrap(z8), one))
+
+        # permutation f'/g' terms
+        f_prime = one
+        g_prime = one
+        for j in range(NUM_ROUTED_WIRES):
+            w = alg.wrap(wires8[:, j])
+            s_id = alg.mul_const(k_is[j] * beta % p, alg.wrap(sub8))
+            f_part = alg.add(w, alg.add(s_id, alg.constant(gamma)))
+            s_sig = alg.mul_const(beta, alg.wrap(sigma8[:, j]))
+            g_part = alg.add(w, alg.add(s_sig, alg.constant(gamma)))
+            f_prime = alg.mul(f_prime, f_part)
+            g_prime = alg.mul(g_prime, g_part)
+        v_shift = alg.sub(alg.mul(f_prime, alg.wrap(z8)),
+                          alg.mul(g_prime, alg.wrap(z8_right)))
+
+        terms = [z_term, v_shift] + constraint_terms
+        # fold by powers of alpha: one fused product-sum
+        ps_terms = []
+        ap = 1
+        for t in terms:
+            arr, db = t
+            ps_terms.append((fops.constant(sf, ap, ())[:, None], 255,
+                             arr, db, 1))
+            ap = ap * alpha % p
+        vanishing_values = fops.product_sum(sf, ps_terms)
+        return ifft(circuit.fft_8n, vanishing_values)
+
+    return jax.jit(compute)(wires_8n, z_poly, circuit.constants_8n,
+                            circuit.s_sigma_values_8n, sub8_dev)
+
+
+def _pi_quotient(circuit: Circuit, wire_polys_no_pis: jnp.ndarray,
+                 alpha: int, num_pi_gates: int) -> jnp.ndarray:
+    """alpha-combination of no-PI wire polys, divided exactly by
+    prod_k (X - x_k) over the PI gate points, via coset evaluate/divide
+    (reference: plonk.rs:200-235 uses Newton polynomial division; the coset
+    form is the FFT-shaped equivalent for an exact division)."""
+    sf = circuit.spec
+    p = sf.p
+    n = circuit.degree()
+    # vanishing_pis = sum_j alpha^j wire_poly_no_pis_j  (degree < n)
+    terms = []
+    ap = 1
+    for j in range(NUM_WIRES):
+        terms.append((fops.constant(sf, ap, ())[:, None], 255,
+                      wire_polys_no_pis[:, j], 255, 1))
+        ap = ap * alpha % p
+
+    pi_points = [circuit.subgroup_n[circuit.num_gates_without_pis + 2 * i]
+                 for i in range(num_pi_gates)]
+    shift = sf.generator
+    # denominator on the coset: prod_k (s h_i - x_k)
+    denom_vals = [1] * n
+    cur_pts = [shift * h % p for h in circuit.subgroup_n]
+    for xk in pi_points:
+        for i in range(n):
+            denom_vals[i] = denom_vals[i] * ((cur_pts[i] - xk) % p) % p
+    from ..fields import host as fhost
+    denom_inv = fhost.batch_inverse(sf, denom_vals) if pi_points else [1] * n
+    denom_inv_dev = ints_to_device_matrix(sf, [denom_inv])[:, 0]
+
+    def compute(polys_terms_arrs, dinv):
+        vanishing_pis = fops.product_sum(sf, [
+            (c, 255, arr, 255, 1) for (c, arr) in polys_terms_arrs])
+        vals = coset_fft(circuit.fft_n, vanishing_pis, shift)
+        q_vals = fops.mul(sf, vals, dinv)
+        return coset_ifft(circuit.fft_n, q_vals, shift)
+
+    arrs = [(c, arr) for (c, _, arr, _, _) in terms]
+    return jax.jit(compute)(arrs, denom_inv_dev)
+
+
+def _stack_polys(circuit: Circuit, wire_polys, z_poly, t_chunks, old_g_polys,
+                 pi_quotient_poly) -> jnp.ndarray:
+    """All committed polynomials in OpeningSet::to_vec order: [D, K, n]."""
+    cols = [circuit.constant_polynomials, circuit.s_sigma_polynomials,
+            wire_polys, z_poly[:, None], t_chunks]
+    if old_g_polys:
+        cols.append(jnp.stack(old_g_polys, axis=1))
+    cols.append(pi_quotient_poly[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+def _open_all(circuit: Circuit, all_polys: jnp.ndarray, old_proofs,
+              zeta: int) -> OpeningSet:
+    """Evaluate every polynomial at zeta: inner products against the powers
+    of zeta (reference: plonk.rs:458-482)."""
+    sf = circuit.spec
+    vals = jax.jit(lambda polys: eval_at(sf, polys, zeta))(all_polys)
+    ints = fops.to_ints(sf, vals)
+    K = all_polys.shape[1]
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = [int(v) for v in ints[idx:idx + k]]
+        idx += k
+        return out
+
+    o_constants = take(6)
+    o_sigmas = take(6)
+    o_wires = take(NUM_WIRES)
+    o_z = take(1)[0]
+    o_t = take(QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER)
+    o_old = take(len(old_proofs))
+    o_pi = take(1)[0]
+    assert idx == K
+    return OpeningSet(o_constants=o_constants, o_plonk_sigmas=o_sigmas,
+                      o_wires=o_wires, o_plonk_z=o_z, o_plonk_t=o_t,
+                      o_old_proofs=o_old, o_pi_quotient=o_pi)

@@ -1,0 +1,22 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding paths compile and execute without TPU hardware.
+
+Note: this environment's sitecustomize force-registers the `axon` TPU
+backend and sets JAX_PLATFORMS=axon, so we must override via jax.config
+(env vars alone are not enough)."""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import plonky_tpu  # noqa: E402
+
+plonky_tpu.enable_compilation_cache()

@@ -1,0 +1,105 @@
+"""Curve kernel tests: complete formulas vs host oracle, exceptional cases,
+endomorphism, MSM vs naive (the reference's test pattern:
+src/curve/curve_msm.rs:219-241, tweedledum_curve.rs:79-89)."""
+
+import jax
+import numpy as np
+import pytest
+
+from plonky_tpu.curves import (
+    ALL_CURVES,
+    BLS12_377,
+    TWEEDLEDEE,
+    host as chost,
+    msm as cmsm,
+    ops as cops,
+)
+from plonky_tpu.fields import ops as fops
+
+
+def points_to_device(curve, pts):
+    f = curve.base
+    xs = fops.from_ints(f, [p.x for p in pts])
+    ys = fops.from_ints(f, [p.y for p in pts])
+    zero = np.array([p.zero for p in pts])
+    return cops.from_affine(curve, xs, ys, jax.numpy.asarray(zero))
+
+
+def device_to_points(curve, proj):
+    x, y, zero = jax.jit(lambda q: cops.to_affine(curve, q))(proj)
+    xs = fops.to_ints(curve.base, x)
+    ys = fops.to_ints(curve.base, y)
+    zs = np.asarray(zero)
+    if np.ndim(zs) == 0:
+        return chost.AffinePoint(curve, xs, ys, bool(zs)) if not bool(zs) \
+            else chost.zero_point(curve)
+    out = []
+    for i in range(len(zs)):
+        if zs[i]:
+            out.append(chost.zero_point(curve))
+        else:
+            out.append(chost.AffinePoint(curve, xs[i], ys[i]))
+    return out
+
+
+@pytest.mark.parametrize("curve", ALL_CURVES, ids=lambda c: c.name)
+def test_add_double_vs_host(curve):
+    g = chost.generator(curve)
+    # build some host points: g, 2g, 3g, 5g, -g, identity
+    pts_a = [g, g.double(), chost.mul(g, 3), chost.mul(g, 5), g.neg(),
+             chost.zero_point(curve)]
+    pts_b = [g.double(), g, g.neg(), chost.zero_point(curve), g,
+             chost.zero_point(curve)]
+    expected = [chost.add(a, b) for a, b in zip(pts_a, pts_b)]
+
+    da = points_to_device(curve, pts_a)
+    db = points_to_device(curve, pts_b)
+    got = device_to_points(curve, jax.jit(
+        lambda a, b: cops.add(curve, a, b))(da, db))
+    for i, (e, r) in enumerate(zip(expected, got)):
+        assert e == r, f"{curve.name} add case {i}"
+
+    exp_dbl = [chost.add(a, a) for a in pts_a]
+    got_dbl = device_to_points(curve, jax.jit(
+        lambda a: cops.double(curve, a))(da))
+    for i, (e, r) in enumerate(zip(exp_dbl, got_dbl)):
+        assert e == r, f"{curve.name} double case {i}"
+
+
+def test_scalar_mul_bits():
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    scalars = [1, 2, 12345678901234567890, curve.scalar.p - 1]
+    d = points_to_device(curve, [g] * len(scalars))
+    s = fops.from_ints(curve.scalar, scalars)
+    bits = jax.jit(lambda t: fops.to_bits(curve.scalar, t, curve.scalar.bits))(s)
+    got = device_to_points(curve, jax.jit(
+        lambda p, b: cops.scalar_mul_bits(curve, p, b))(d, bits))
+    for sc, r in zip(scalars, got):
+        assert chost.mul(g, sc) == r, f"scalar {sc}"
+
+
+def test_endomorphism():
+    """phi(P) == zeta_scalar * P (reference: tweedledum_curve.rs:79-89)."""
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    pt = chost.mul(g, 987654321)
+    assert pt.endomorphism() == chost.mul(pt, curve.zeta_scalar)
+
+
+@pytest.mark.parametrize("n,c", [(8, 4), (33, 8)])
+def test_msm_vs_naive(n, c):
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    rng = np.random.default_rng(42)
+    pts = [chost.mul(g, int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    scalars = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+               for _ in range(n)]
+    expected = chost.zero_point(curve)
+    for p, s in zip(pts, scalars):
+        expected = chost.add(expected, chost.mul(p, s))
+
+    d = points_to_device(curve, pts)
+    s = fops.from_ints(curve.scalar, scalars)
+    got = device_to_points(curve, cmsm.msm_jit(curve, c)(d, s))
+    assert got == expected

@@ -1,0 +1,122 @@
+"""Hashing layer tests: ChaCha8 stream, BLAKE3 vectors, Rescue host/device
+consistency, MDS, challenger determinism, hash-to-curve validity."""
+
+import numpy as np
+
+from plonky_tpu.curves import TWEEDLEDEE
+from plonky_tpu.fields import TWEEDLEDEE_BASE, ops
+from plonky_tpu.hashing import (
+    ChaCha8Rng,
+    Challenger,
+    blake3_hash,
+    blake_hash_usize_to_curve,
+    mds_matrix,
+    recommended_rounds,
+    rescue_constants,
+    rescue_permutation,
+    rescue_permutation_host,
+    rescue_sponge_host,
+)
+from plonky_tpu.hashing.chacha import _chacha_block
+
+
+def test_chacha_block_vectors():
+    """Validate the ChaCha core against the canonical ChaCha20 zero-key
+    keystream, plus the first half of the eSTREAM ChaCha8 zero-key vector."""
+    words20 = _chacha_block([0] * 8, 0, rounds=20)
+    got20 = b"".join(w.to_bytes(4, "little") for w in words20)
+    assert got20 == bytes.fromhex(
+        "76b8e0ada0f13d90405d6ae55386bd28bdd219b8a08ded1aa836efcc8b770dc7"
+        "da41597c5157488d7724e03fb8d84a376a43b8f41518a11cc387b669b2ee6586"
+    )
+    words8 = _chacha_block([0] * 8, 0, rounds=8)
+    got8 = b"".join(w.to_bytes(4, "little") for w in words8)
+    assert got8[:32] == bytes.fromhex(
+        "3e00ef2f895f40d67f5bb8e81f09a5a12c840ec3ce9a7f3b181be188ef711a1e"
+    )
+
+
+def test_blake3_vectors():
+    """Official BLAKE3 test vectors (input bytes are i % 251)."""
+    assert blake3_hash(b"", 32).hex() == (
+        "af1349b9f5f9a1a6a0404dea36dcc9499bcb25c9adc112b7cc9a93cae41f3262"
+    )
+    assert blake3_hash(bytes([0]), 32).hex() == (
+        "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213"
+    )
+    # XOF prefix property
+    assert blake3_hash(b"abc", 64)[:32] == blake3_hash(b"abc", 32)
+
+
+def test_rescue_rounds_and_constants():
+    assert recommended_rounds(4, 128) == 16
+    cs = rescue_constants(TWEEDLEDEE_BASE, 4, 128)
+    assert len(cs) == 16
+    assert all(len(a) == 4 and len(b) == 4 for a, b in cs)
+    # deterministic
+    cs2 = rescue_constants(TWEEDLEDEE_BASE, 4, 128)
+    assert cs == cs2
+    # all in range
+    for a, b in cs:
+        for v in (*a, *b):
+            assert 0 <= v < TWEEDLEDEE_BASE.p
+
+
+def test_mds_is_cauchy():
+    spec = TWEEDLEDEE_BASE
+    m = mds_matrix(spec, 4)
+    for r in range(4):
+        for c in range(4):
+            assert m[r][c] * ((4 + r - c) % spec.p) % spec.p == 1
+
+
+def test_rescue_host_device_consistency():
+    spec = TWEEDLEDEE_BASE
+    state_ints = [3, 141592653589793238, spec.p - 17, 0]
+    host_out = rescue_permutation_host(spec, state_ints, 128)
+
+    state_dev = [ops.from_ints(spec, [v, v]) for v in state_ints]  # batch of 2
+    import jax
+    dev = jax.jit(lambda s: rescue_permutation(spec, s, 128))(state_dev)
+    for h, d in zip(host_out, dev):
+        got = ops.to_ints(spec, d)
+        assert got[0] == h and got[1] == h
+
+
+def test_rescue_sponge_host():
+    spec = TWEEDLEDEE_BASE
+    out1 = rescue_sponge_host(spec, [0, 0], 2, 128)
+    out2 = rescue_sponge_host(spec, [0, 0], 2, 128)
+    assert out1 == out2
+    assert len(out1) == 2
+    # different inputs -> different outputs
+    out3 = rescue_sponge_host(spec, [1, 0], 2, 128)
+    assert out1 != out3
+
+
+def test_challenger_behavior():
+    spec = TWEEDLEDEE_BASE
+    ch = Challenger(spec, 128)
+    ch.observe_element(7)
+    ch.observe_element(8)
+    a, b = ch.get_2_challenges()
+    # reference quirk: consecutive challenges without new observations are
+    # equal, because absorb resets the output buffer and pops the end
+    # (reference: src/plonk_challenger.rs:63-108)
+    assert a == b
+    ch2 = Challenger(spec, 128)
+    ch2.observe_element(7)
+    ch2.observe_element(8)
+    assert ch2.get_challenge() == a
+    # observing changes subsequent challenges
+    ch.observe_element(5)
+    c = ch.get_challenge()
+    assert c != a
+
+
+def test_blake_hash_to_curve():
+    for seed in range(3):
+        pt = blake_hash_usize_to_curve(TWEEDLEDEE, seed)
+        assert pt.is_valid() and not pt.zero
+        pt2 = blake_hash_usize_to_curve(TWEEDLEDEE, seed)
+        assert pt == pt2

@@ -1,0 +1,113 @@
+"""End-to-end prove -> verify (reference: tests/prove_and_verify.rs).
+
+Deterministic: blinding disabled and the random source pinned, mirroring the
+reference's test setup guidance (SURVEY.md section 4: run with blinding=false
+/ injected RNG)."""
+
+import numpy as np
+import pytest
+
+import plonky_tpu.circuit.builder as builder_mod
+import plonky_tpu.protocol.halo as halo_mod
+from plonky_tpu.circuit import CircuitBuilder, PartialWitness
+from plonky_tpu.curves import TWEEDLEDEE, TWEEDLEDUM
+from plonky_tpu.protocol import generate_proof, verify_proof
+
+
+@pytest.fixture(autouse=True)
+def deterministic_randomness(monkeypatch):
+    rng = np.random.default_rng(314159)
+
+    def fake_random(p):
+        return int.from_bytes(rng.bytes(40), "little") % p
+
+    monkeypatch.setattr(builder_mod, "RANDOM_SOURCE", fake_random)
+    monkeypatch.setattr(halo_mod, "RANDOM_SOURCE", fake_random)
+    yield
+
+
+def prove_and_verify(build_fn, set_witness_fn, expected_pis=None):
+    builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+    targets = build_fn(builder)
+    circuit = builder.build()
+    inputs = PartialWitness()
+    set_witness_fn(inputs, targets)
+    witness = circuit.generate_witness(inputs)
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=False)
+    vk = circuit.to_vk()
+    pis = circuit.get_public_inputs(witness)
+    if expected_pis is not None:
+        assert pis == expected_pis
+    old = verify_proof(pis, proof, [], vk, TWEEDLEDUM, verify_g=True)
+    assert old is None
+    return circuit, proof
+
+
+def test_proof_trivial_circuit():
+    """reference: prove_and_verify.rs:18-26 test_proof_trivial."""
+    def build(b):
+        t = b.constant_wire(42)
+        b.assert_zero(b.sub(t, b.constant_wire(42)))
+        return t
+
+    prove_and_verify(build, lambda w, t: None)
+
+
+def test_proof_sum_public_inputs():
+    """x + y = z with public inputs (reference: prove_and_verify.rs:54-... )."""
+    def build(b):
+        x = b.add_public_input()
+        y = b.add_public_input()
+        z = b.add(x, y)
+        out = b.add_public_input()
+        b.copy(z, out)
+        return (x, y, out)
+
+    def set_w(w, ts):
+        x, y, out = ts
+        w.set_target(x, 3)
+        w.set_target(y, 39)
+        w.set_target(out, 42)
+
+    prove_and_verify(build, set_w, expected_pis=[3, 39, 42])
+
+
+def test_proof_quadratic():
+    """t^2 + t + 1 - 7 == 0 at t = 2 (reference quadratic test shape)."""
+    def build(b):
+        one = b.one_wire()
+        t = b.add_virtual_target()
+        t_sq = b.square(t)
+        quad = b.add_many([one, t, t_sq])
+        seven = b.constant_wire(7)
+        res = b.sub(quad, seven)
+        b.assert_zero(res)
+        return t
+
+    def set_w(w, t):
+        w.set_target(t, 2)
+
+    prove_and_verify(build, set_w)
+
+
+def test_invalid_witness_rejected():
+    from plonky_tpu.protocol import VerificationError
+
+    def build(b):
+        t = b.add_virtual_target()
+        sq = b.square(t)
+        b.copy(sq, b.constant_wire(9))
+        return t
+
+    builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+    t = build(builder)
+    circuit = builder.build()
+    inputs = PartialWitness()
+    inputs.set_target(t, 3)
+    witness = circuit.generate_witness(inputs)
+    # tamper with the witness: break the square relation
+    witness.wire_values[2][0] = 12345
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=False)
+    with pytest.raises(VerificationError):
+        verify_proof(circuit.get_public_inputs(witness), proof, [],
+                     circuit.to_vk(), TWEEDLEDUM, verify_g=True)
