@@ -461,9 +461,9 @@ class CircuitBuilder:
             partitions.merge(a, b)
         return partitions
 
-    def build(self):
-        from ..protocol.circuit import Circuit, build_circuit
-        return build_circuit(self)
+    def build(self, inner_curve=None, light: bool = False):
+        from ..protocol.circuit import build_circuit
+        return build_circuit(self, inner_curve, light)
 
 
 def _pw(target, value) -> PartialWitness:

@@ -33,8 +33,11 @@ from ..utils import log2_strict
 CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".cache")
 
-# Pippenger window for commitments (tuned small to keep bucket state modest).
-COMMIT_WINDOW_BITS = 8
+def commit_window_bits(n: int) -> int:
+    """Pippenger window for an n-point MSM: ~log2(n) - 3, clamped.  Small
+    windows keep the bucket machinery (and compile time) proportionate for
+    small circuits; large circuits amortize bigger windows."""
+    return max(2, min(8, n.bit_length() - 3))
 
 
 def pedersen_bases(curve: CurveSpec, degree: int):
@@ -85,14 +88,14 @@ class PolynomialCommitment:
 
 
 def ints_to_device_matrix(spec, rows) -> jnp.ndarray:
-    """[[int]] (k rows x n cols) -> [D, k, n] digit tensor."""
+    """[[int]] (k rows x n cols) -> [D, k, n] digit tensor.  Vectorized via
+    int.to_bytes (values are < 256^D by the working-form invariant)."""
+    D = spec.n_digits
     k = len(rows)
     n = len(rows[0])
-    arr = np.zeros((spec.n_digits, k, n), dtype=np.int32)
-    for i, row in enumerate(rows):
-        for j, v in enumerate(row):
-            arr[:, i, j] = spec.to_digits(v)
-    return jnp.asarray(arr)
+    flat = b"".join(int(v).to_bytes(D, "little") for row in rows for v in row)
+    arr = np.frombuffer(flat, dtype=np.uint8).reshape(k, n, D)
+    return jnp.asarray(np.ascontiguousarray(arr.transpose(2, 0, 1)).astype(np.int32))
 
 
 class CommitmentEngine:
@@ -110,7 +113,7 @@ class CommitmentEngine:
         k = coeffs.shape[1]
         scalars_canon = fops.jitted('canonicalize', self.curve.scalar)(coeffs)
         out = []
-        msm_fn = cmsm.msm_jit(self.curve, COMMIT_WINDOW_BITS)
+        msm_fn = cmsm.msm_jit(self.curve, commit_window_bits(self.n))
         for i in range(k):
             pt = msm_fn(self.g_dev, scalars_canon[:, i])
             hp = device_point_to_host(self.curve, pt)
@@ -249,10 +252,24 @@ def _takes_ctx(g) -> bool:
     return isinstance(g, Gate)
 
 
-def build_circuit(builder, inner_curve: Optional[CurveSpec] = None) -> Circuit:
-    """Finalize (reference: circuit_builder.rs:1078-1186)."""
+def cycle_partner(curve: CurveSpec) -> CurveSpec:
+    """The other curve of the 2-cycle (the default InnerC for proofs)."""
+    from ..curves.instances import PALLAS, TWEEDLEDEE, TWEEDLEDUM, VESTA
+    return {"Tweedledee": TWEEDLEDUM, "Tweedledum": TWEEDLEDEE,
+            "Pallas": VESTA, "Vesta": PALLAS}[curve.name]
+
+
+def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
+                  light: bool = False) -> Circuit:
+    """Finalize (reference: circuit_builder.rs:1078-1186).
+
+    light=True skips the Pedersen bases and polynomial commitments (enough
+    for witness generation and constraint checking, not for proving)."""
     from ..circuit.gates import BufferGate
     from ..utils import is_power_of_two
+
+    if inner_curve is None:
+        inner_curve = cycle_partner(builder.curve)
 
     for _ in range(3):
         builder._add_blinding_gate()
@@ -276,21 +293,26 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None) -> Circuit:
     subgroup_generator_8n = fhost.primitive_root_of_unity(spec, degree_pow + 3)
     subgroup_n = fhost.cyclic_subgroup_known_order(spec, subgroup_generator_n, degree)
 
-    g_pts, h_pt, u_pt = pedersen_bases(builder.curve, degree)
-    engine = CommitmentEngine(builder.curve, g_pts, h_pt)
+    if light:
+        g_pts, h_pt, u_pt, engine = [], None, None, None
+    else:
+        g_pts, h_pt, u_pt = pedersen_bases(builder.curve, degree)
+        engine = CommitmentEngine(builder.curve, g_pts, h_pt)
 
     # constant polynomials (transpose gate-major -> wire-major)
     wire_constants = [list(col) for col in zip(*builder.gate_constants)]
     const_values = ints_to_device_matrix(spec, wire_constants)   # [D, 6, n]
     constant_polynomials = jax.jit(lambda v: ifft(fft_n, v))(const_values)
     constants_8n = _lde_8n(spec, fft_8n, constant_polynomials)
-    c_constants = engine.commit_many(constant_polynomials, blinding=False)
+    c_constants = [] if light else engine.commit_many(
+        constant_polynomials, blinding=False)
 
     sigma_chunks = sigma_values_host(spec, sigma, degree, subgroup_generator_n)
     sigma_vals_dev = ints_to_device_matrix(spec, sigma_chunks)
     s_sigma_polynomials = jax.jit(lambda v: ifft(fft_n, v))(sigma_vals_dev)
     s_sigma_values_8n = _lde_8n(spec, fft_8n, s_sigma_polynomials)
-    c_s_sigmas = engine.commit_many(s_sigma_polynomials, blinding=False)
+    c_s_sigmas = [] if light else engine.commit_many(
+        s_sigma_polynomials, blinding=False)
 
     return Circuit(
         curve=builder.curve,

@@ -144,9 +144,25 @@ def batch_opening_proof(
         randomness = (randomness + s * r) % p
 
     degree_pow = degree.bit_length() - 1
-    from .circuit import device_point_to_host
+    from .circuit import commit_window_bits, device_point_to_host
 
-    msm_small = cmsm.msm_jit(curve, IPA_MSM_WINDOW)
+    half0 = degree // 2
+    msm_small = cmsm.msm_jit(curve, commit_window_bits(max(2, half0)))
+
+    def _pad_scalars(s, m):
+        """Zero-pad canonical scalars [Ds, m] to the fixed width half0 so
+        every IPA round reuses ONE compiled MSM (zero scalars land in the
+        skipped bucket 0)."""
+        if s.shape[-1] == half0:
+            return s
+        return jnp.pad(s, [(0, 0), (0, half0 - s.shape[-1])])
+
+    def _pad_points(g, m):
+        if g[0].shape[-1] == half0:
+            return g
+        ident = cops.identity(curve, (half0 - g[0].shape[-1],))
+        return tuple(jnp.concatenate([t, i], axis=-1)
+                     for t, i in zip(g, ident))
 
     for j in range(degree_pow, 0, -1):
         n = 1 << j
@@ -159,8 +175,10 @@ def batch_opening_proof(
         # device: the two MSMs and inner products of this round
         a_lo_c = fops.jitted('canonicalize', sf)(a_lo)
         a_hi_c = fops.jitted('canonicalize', sf)(a_hi)
-        l_msm = device_point_to_host(curve, msm_small(g_hi, a_lo_c))
-        r_msm = device_point_to_host(curve, msm_small(g_lo, a_hi_c))
+        l_msm = device_point_to_host(
+            curve, msm_small(_pad_points(g_hi, middle), _pad_scalars(a_lo_c, middle)))
+        r_msm = device_point_to_host(
+            curve, msm_small(_pad_points(g_lo, middle), _pad_scalars(a_hi_c, middle)))
         ip_lo_hi = _inner_product_device(sf, a_lo, b_hi)
         ip_hi_lo = _inner_product_device(sf, a_hi, b_lo)
 
@@ -191,8 +209,10 @@ def batch_opening_proof(
         sa = _scale_add_jit(sf)
         halo_a = sa(_sc(sf, u_j_inv), a_hi, _sc(sf, u_j), a_lo)
         halo_b = sa(_sc(sf, u_j_inv), b_lo, _sc(sf, u_j), b_hi)
-        halo_g_dev = _fold_points_jit(curve)(
-            _bits_col(sf, u_j_inv), g_lo, _bits_col(sf, u_j), g_hi)
+        folded = _fold_points_jit(curve)(
+            _bits_col(sf, u_j_inv), _pad_points(g_lo, middle),
+            _bits_col(sf, u_j), _pad_points(g_hi, middle))
+        halo_g_dev = tuple(t[:, :middle] for t in folded)
 
     halo_g_pt = device_point_to_host(curve, tuple(t[:, 0] for t in halo_g_dev))
     a0 = fops.to_ints(sf, halo_a[:, 0])

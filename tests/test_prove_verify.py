@@ -33,7 +33,7 @@ def prove_and_verify(build_fn, set_witness_fn, expected_pis=None):
     inputs = PartialWitness()
     set_witness_fn(inputs, targets)
     witness = circuit.generate_witness(inputs)
-    proof = generate_proof(circuit, witness, old_proofs=[], blinding=False)
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=True)
     vk = circuit.to_vk()
     pis = circuit.get_public_inputs(witness)
     if expected_pis is not None:
@@ -107,7 +107,7 @@ def test_invalid_witness_rejected():
     witness = circuit.generate_witness(inputs)
     # tamper with the witness: break the square relation
     witness.wire_values[2][0] = 12345
-    proof = generate_proof(circuit, witness, old_proofs=[], blinding=False)
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=True)
     with pytest.raises(VerificationError):
         verify_proof(circuit.get_public_inputs(witness), proof, [],
                      circuit.to_vk(), TWEEDLEDUM, verify_g=True)
