@@ -1,0 +1,85 @@
+"""MSM scaling harness (reference: src/bin/msms.rs).
+
+The reference sweeps rayon thread-pool sizes for a fixed 2^14-term MSM; the
+TPU-native analogue sweeps the DEVICE MESH size for the point-sharded
+Pippenger MSM (SURVEY.md P2/P7) and reports points/s plus weak-scaling
+efficiency.  On a single-chip host this runs over virtual devices
+(xla_force_host_platform_device_count), which validates the sharded path;
+on a pod slice it measures real ICI scaling.
+
+Usage: python bin/msms_bench.py [--log-n 14] [--window 8] [--devices 1 2 4 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n", type=int, default=14)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    import plonky_tpu
+    plonky_tpu.enable_compilation_cache()
+
+    from plonky_tpu.curves import TWEEDLEDEE as curve
+    from plonky_tpu.curves import msm as cmsm, ops as cops
+    from plonky_tpu.fields import ops as fops
+    from plonky_tpu.parallel import default_mesh, msm_sharded
+
+    n = 1 << args.log_n
+    n_dev_avail = len(jax.devices())
+    sweep = args.devices or sorted({d for d in (1, 2, 4, 8, n_dev_avail)
+                                    if d <= n_dev_avail})
+
+    rng = np.random.default_rng(0)
+    print(f"devices available: {n_dev_avail}; MSM size 2^{args.log_n}, "
+          f"window {args.window}", flush=True)
+
+    # Random projective points (pseudo, not on-curve -- throughput only,
+    # mirroring the reference's random-scalar harness) and scalars.
+    xs = jax.numpy.asarray(
+        rng.integers(0, 256, (curve.base.n_digits, n), dtype=np.int32))
+    ys = jax.numpy.asarray(
+        rng.integers(0, 256, (curve.base.n_digits, n), dtype=np.int32))
+    zs = fops.constant(curve.base, 1, (n,))
+    P = (xs, ys, zs)
+    scalars = jax.numpy.asarray(
+        rng.integers(0, 256, (curve.scalar.n_digits, n), dtype=np.int32))
+
+    base_rate = None
+    for nd in sweep:
+        if nd == 1:
+            fn = cmsm.msm_jit(curve, args.window)
+            run = lambda: fn(P, scalars)
+        else:
+            mesh = default_mesh(nd)
+            run = lambda m=mesh: msm_sharded(m, curve, P, scalars,
+                                             window_bits=args.window)
+        out = run()
+        jax.tree_util.tree_map(lambda t: t.block_until_ready(), out)
+        t0 = time.time()
+        for _ in range(args.reps):
+            out = run()
+        jax.tree_util.tree_map(lambda t: t.block_until_ready(), out)
+        dt = (time.time() - t0) / args.reps
+        rate = n / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * nd / sweep[0])
+        print(f"  mesh={nd:3d}: {dt*1e3:9.2f} ms  {rate:.3e} points/s  "
+              f"weak-scaling efficiency {eff*100:5.1f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()

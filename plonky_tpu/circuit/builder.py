@@ -292,24 +292,31 @@ class CircuitBuilder:
         return bits, dibits
 
     def assert_dibit_length(self, x, num_dibits: int):
-        """Range check: x fits in num_dibits dibits (reference: :823-873)."""
+        """Range check: x fits in num_dibits dibits (reference: :823-873).
+
+        The split produces little-endian dibits (value = sum_j d_j 4^j), so
+        the MSB-first Base4 fold must consume them in REVERSED order.  (The
+        reference folds them forward, so its composed accumulator never
+        equals x for general values -- one of the latent bugs behind its
+        disabled recursion test.)"""
         dibits = self.split_base_4(x, num_dibits)
+        msb_first = dibits[::-1]
         s = self.zero_wire()
-        n_full = (num_dibits // Base4SumGate.NUM_LIMBS) * Base4SumGate.NUM_LIMBS
-        for i in range(0, n_full, Base4SumGate.NUM_LIMBS):
-            chunk = dibits[i:i + Base4SumGate.NUM_LIMBS]
+        leftover = num_dibits % Base4SumGate.NUM_LIMBS
+        if leftover:
+            rem = msb_first[:leftover]
+            self.assert_all_base_4(rem)
+            four = self.constant_wire(4)
+            for dibit in rem:
+                s = self.mul_add(s, four, dibit)
+        for i in range(leftover, num_dibits, Base4SumGate.NUM_LIMBS):
+            chunk = msb_first[i:i + Base4SumGate.NUM_LIMBS]
             gate = self.num_gates()
             self.add_gate_no_constants(Base4SumGate(gate))
             self.copy(s, Wire(gate, Base4SumGate.WIRE_ACC_OLD))
             for j, dibit in enumerate(chunk):
                 self.copy(dibit, Wire(gate, Base4SumGate.wire_limb(j)))
             s = Wire(gate, Base4SumGate.WIRE_ACC_NEW)
-        rem = dibits[n_full:]
-        if rem:
-            self.assert_all_base_4(rem)
-            four = self.constant_wire(4)
-            for dibit in rem:
-                s = self.mul_add(s, four, dibit)
         self.copy(s, x)
 
     def deterministic_square_root(self, x):
@@ -335,9 +342,13 @@ class CircuitBuilder:
         self.copy(self.square(x_sqrt), x)
         self.assert_zero(bits[0])
         self.assert_binary(bits[1])
-        s = self.double(bits[1])
-        for i in range(0, len(dibits), Base4SumGate.NUM_LIMBS):
-            chunk = dibits[i:i + Base4SumGate.NUM_LIMBS]
+        # x_sqrt = (sum_j dibit_j 4^j) * 4 + 2 bit_1 + bit_0, with bit_0 = 0.
+        # MSB-first Base4 fold over REVERSED dibits (126 = 18 * 7 exact
+        # chunks), then shift the two low bits in.
+        s = self.zero_wire()
+        msb_first = dibits[::-1]
+        for i in range(0, len(msb_first), Base4SumGate.NUM_LIMBS):
+            chunk = msb_first[i:i + Base4SumGate.NUM_LIMBS]
             assert len(chunk) == Base4SumGate.NUM_LIMBS
             gate = self.num_gates()
             self.add_gate_no_constants(Base4SumGate(gate))
@@ -345,7 +356,8 @@ class CircuitBuilder:
             for j, dibit in enumerate(chunk):
                 self.copy(dibit, Wire(gate, Base4SumGate.wire_limb(j)))
             s = Wire(gate, Base4SumGate.WIRE_ACC_NEW)
-        self.copy(s, x)
+        s = self.mul_add(s, self.constant_wire(4), self.double(bits[1]))
+        self.copy(s, x_sqrt)
         return x_sqrt
 
     # ------------------------------------------------------------------

@@ -32,6 +32,25 @@ from ..witness import LambdaGenerator, PartialWitness
 ENDO_MSM_PARTS = 64  # (GRID_WIDTH - 1): parts per endo-MSM iteration
 
 
+def _filler_point(inner_curve):
+    """Exceptional-case filler accumulator seed.  MUST be domain-separated
+    from the Pedersen family: pedersen_g[i] = hash(i), and a constant-1
+    polynomial commits to exactly 1*G_0 = hash(0), so seeding the filler
+    with hash(0) collides the very first MSM addition (the reference dodges
+    this by drawing a random filler per build, circuit_curve.rs:299-304; we
+    keep builds deterministic and hash from the top of the field instead,
+    far outside any protocol index)."""
+    return blake_hash_base_field_to_curve(inner_curve,
+                                          inner_curve.base.p - 1)
+
+
+def _dummy_point(inner_curve):
+    """Zero-scalar padding point for endo-MSMs; domain-separated like
+    _filler_point."""
+    return blake_hash_base_field_to_curve(inner_curve,
+                                          inner_curve.base.p - 2)
+
+
 @dataclass(frozen=True)
 class AffinePointTarget:
     x: object
@@ -136,7 +155,7 @@ def curve_msm(builder, inner_curve, parts: List[CurveMulOp]) -> AffinePointTarge
     f_bits = builder.spec.bits - 1
     all_bits = [builder.split_binary(part.scalar, f_bits) for part in parts]
 
-    filler = blake_hash_base_field_to_curve(inner_curve, 0)
+    filler = _filler_point(inner_curve)
     acc = constant_affine_point(builder, filler)
     scalar_accs = [builder.zero_wire()] * len(parts)
 
@@ -222,7 +241,7 @@ def curve_msm_endo(builder, inner_curve, parts: List[CurveMulOp]) -> CurveMsmEnd
     assert n_real <= ENDO_MSM_PARTS, "split larger MSMs into 64-part chunks"
     # Pad with dummy zero-scalar ops on a fixed point; their [n(0)] P_dummy
     # contribution is a known constant subtracted at the end.
-    dummy_pt_host = blake_hash_base_field_to_curve(inner_curve, 1)
+    dummy_pt_host = _dummy_point(inner_curve)
     parts = list(parts)
     n_dummy = ENDO_MSM_PARTS - n_real
     if n_dummy:
@@ -235,7 +254,7 @@ def curve_msm_endo(builder, inner_curve, parts: List[CurveMulOp]) -> CurveMsmEnd
     all_bits = [s[0] for s in splits]
     all_dibits = [s[1] for s in splits]
 
-    filler = blake_hash_base_field_to_curve(inner_curve, 0)
+    filler = _filler_point(inner_curve)
     acc = constant_affine_point(builder, filler)
     scalar_acc_unsigned: List[object] = []
     scalar_acc_signed: List[object] = []
@@ -294,21 +313,28 @@ def curve_msm_endo(builder, inner_curve, parts: List[CurveMulOp]) -> CurveMsmEnd
             dummy_total_t = constant_affine_point(builder, dummy_total)
             acc = curve_sub(builder, acc, dummy_total_t)
 
-    # Accumulate the remaining dibits into the unsigned accumulators.
-    for j in range(len(parts)):
-        dibits = all_dibits[j]
-        for c in range(0, len(dibits), Base4SumGate.NUM_LIMBS):
-            chunk = dibits[c:c + Base4SumGate.NUM_LIMBS]
+    # Compose each scalar from its pieces: the endo gates accumulated the
+    # LOW 128 bits into scalar_acc_unsigned (MSB-first bit pairs), and the
+    # remaining 63 dibits carry bits 128..254 little-endian, so
+    #   scalar = (sum_j dibit_j 4^j) * 2^128 + unsigned_acc.
+    # Fold the dibits MSB-first (reversed; 63 = 9 * 7 exact chunks), then
+    # combine with one mul_add.  (The reference seeds the fold with the
+    # unsigned accumulator and walks the dibits forward, which composes a
+    # different value -- its recursion test is disabled.)
+    two_pow_128 = builder.constant_wire(1 << scalar_bits)
+    for j, part in enumerate(parts):
+        acc_d = builder.zero_wire()
+        msb_first = all_dibits[j][::-1]
+        for c in range(0, len(msb_first), Base4SumGate.NUM_LIMBS):
+            chunk = msb_first[c:c + Base4SumGate.NUM_LIMBS]
             assert len(chunk) == Base4SumGate.NUM_LIMBS
             gate = builder.num_gates()
             builder.add_gate_no_constants(Base4SumGate(gate))
-            builder.copy(scalar_acc_unsigned[j],
-                         Wire(gate, Base4SumGate.WIRE_ACC_OLD))
-            scalar_acc_unsigned[j] = Wire(gate, Base4SumGate.WIRE_ACC_NEW)
+            builder.copy(acc_d, Wire(gate, Base4SumGate.WIRE_ACC_OLD))
+            acc_d = Wire(gate, Base4SumGate.WIRE_ACC_NEW)
             for k, dibit in enumerate(chunk):
                 builder.copy(dibit, Wire(gate, Base4SumGate.wire_limb(k)))
-
-    for j, part in enumerate(parts):
-        builder.copy(scalar_acc_unsigned[j], part.scalar)
+        composed = builder.mul_add(acc_d, two_pow_128, scalar_acc_unsigned[j])
+        builder.copy(composed, part.scalar)
 
     return CurveMsmEndoResult(acc, scalar_acc_signed[:n_real])

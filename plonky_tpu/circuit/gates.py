@@ -140,8 +140,23 @@ class Base4SumGate(Gate):
             constraints.append(prod)
         return constraints
 
-    # witness generation is done by decomposition-level generators
-    # (reference: base_4_sum.rs:100-113)
+    def dependencies(self):
+        return [self.w(self.WIRE_ACC_OLD)] + \
+            [self.w(self.wire_limb(i)) for i in range(self.NUM_LIMBS)]
+
+    def generate(self, ctx, constants, witness):
+        """Compute acc_new from acc_old and the limbs.  (The reference has
+        no generator here and relies on copy propagation, which leaves the
+        accumulator wires unpopulated -- zero-filled rows then violate the
+        gate's own constraint.)"""
+        p = ctx.spec.p
+        acc = witness.get_wire(self.w(self.WIRE_ACC_OLD))
+        for i in range(self.NUM_LIMBS):
+            limb = witness.get_wire(self.w(self.wire_limb(i)))
+            acc = (4 * acc + limb) % p
+        r = PartialWitness()
+        r.set_wire(self.w(self.WIRE_ACC_NEW), acc)
+        return r
 
 
 class BufferGate(Gate):
@@ -389,6 +404,11 @@ class CurveEndoGate(Gate):
         s_x = px * zeta % p if b1 == 1 else px
         s_y = py if b0 == 1 else (-py) % p
         dx = (x1 - s_x) % p
+        if dx == 0:
+            raise ValueError(
+                f"CurveEndoGate {self.index}: exceptional addition "
+                f"(acc.x == addend.x): x1={x1:#x} b0={b0} b1={b1} "
+                f"px={px:#x} py={py:#x} y1={y1:#x} s_y={s_y:#x}")
         inverse = pow(dx, -1, p)
         lam = (y1 - s_y) * inverse % p
         x3 = (lam * lam - x1 - s_x) % p

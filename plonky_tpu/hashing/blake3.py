@@ -139,6 +139,56 @@ def _root_output(data: bytes) -> _Output:
     return outputs[0]
 
 
+def _blake3_hash_py(data: bytes, out_len: int = 32) -> bytes:
+    return _root_output(data).root_bytes(out_len)
+
+
+# ---------------------------------------------------------------------------
+# Native fast path: native/blake3.c compiled on demand and loaded via ctypes
+# (single-chunk inputs; base derivation hashes are ~50 bytes).  Falls back
+# to the pure-python implementation if the toolchain is unavailable.
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "blake3.c")
+    so = os.path.join(root, ".cache", "libplonky_blake3.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            os.makedirs(os.path.dirname(so), exist_ok=True)
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.blake3_hash_xof.restype = ctypes.c_int
+        lib.blake3_hash_xof.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = False
+    return _NATIVE
+
+
 def blake3_hash(data: bytes, out_len: int = 32) -> bytes:
     """BLAKE3 hash / XOF of `data` with out_len output bytes."""
-    return _root_output(data).root_bytes(out_len)
+    lib = _load_native()
+    if lib and len(data) <= CHUNK_LEN:
+        import ctypes
+        buf = (ctypes.c_uint8 * out_len)()
+        if lib.blake3_hash_xof(data, len(data), buf, out_len) == 0:
+            return bytes(buf)
+    return _blake3_hash_py(data, out_len)

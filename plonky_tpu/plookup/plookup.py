@@ -200,7 +200,8 @@ def _vanishing_polynomial(sf, polys, z_poly, beta, gamma, alpha, n):
 
     def compute(polys_, z_):
         def lde(q):
-            return fft(pre4, jnp.pad(q, [(0, 0), (0, order - q.shape[-1])]))
+            pad = [(0, 0)] * (q.ndim - 1) + [(0, order - q.shape[-1])]
+            return fft(pre4, jnp.pad(q, pad))
         f4 = lde(polys_[:, 0:1])[:, 0]
         t4 = lde(polys_[:, 1:2])[:, 0]
         h14 = lde(polys_[:, 2:3])[:, 0]

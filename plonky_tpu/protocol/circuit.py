@@ -287,32 +287,37 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
     sigma = partitions.to_wire_partitions().to_sigma()
 
     spec = builder.spec
-    fft_n = FftPrecomputation(spec, degree)
-    fft_8n = FftPrecomputation(spec, degree * 8)
+    fft_n = None if light else FftPrecomputation(spec, degree)
+    fft_8n = None if light else FftPrecomputation(spec, degree * 8)
     subgroup_generator_n = fhost.primitive_root_of_unity(spec, degree_pow)
     subgroup_generator_8n = fhost.primitive_root_of_unity(spec, degree_pow + 3)
     subgroup_n = fhost.cyclic_subgroup_known_order(spec, subgroup_generator_n, degree)
 
+    sigma_chunks = sigma_values_host(spec, sigma, degree, subgroup_generator_n)
+
     if light:
+        # Host-only build: witness generation + constraint checking, no
+        # proving.  Skips every device computation (FFTs, LDEs, MSMs) --
+        # important on cold compilation caches.
         g_pts, h_pt, u_pt, engine = [], None, None, None
+        constant_polynomials = constants_8n = None
+        s_sigma_polynomials = s_sigma_values_8n = None
+        c_constants = c_s_sigmas = []
     else:
         g_pts, h_pt, u_pt = pedersen_bases(builder.curve, degree)
         engine = CommitmentEngine(builder.curve, g_pts, h_pt)
 
-    # constant polynomials (transpose gate-major -> wire-major)
-    wire_constants = [list(col) for col in zip(*builder.gate_constants)]
-    const_values = ints_to_device_matrix(spec, wire_constants)   # [D, 6, n]
-    constant_polynomials = jax.jit(lambda v: ifft(fft_n, v))(const_values)
-    constants_8n = _lde_8n(spec, fft_8n, constant_polynomials)
-    c_constants = [] if light else engine.commit_many(
-        constant_polynomials, blinding=False)
+        # constant polynomials (transpose gate-major -> wire-major)
+        wire_constants = [list(col) for col in zip(*builder.gate_constants)]
+        const_values = ints_to_device_matrix(spec, wire_constants)  # [D, 6, n]
+        constant_polynomials = jax.jit(lambda v: ifft(fft_n, v))(const_values)
+        constants_8n = _lde_8n(spec, fft_8n, constant_polynomials)
+        c_constants = engine.commit_many(constant_polynomials, blinding=False)
 
-    sigma_chunks = sigma_values_host(spec, sigma, degree, subgroup_generator_n)
-    sigma_vals_dev = ints_to_device_matrix(spec, sigma_chunks)
-    s_sigma_polynomials = jax.jit(lambda v: ifft(fft_n, v))(sigma_vals_dev)
-    s_sigma_values_8n = _lde_8n(spec, fft_8n, s_sigma_polynomials)
-    c_s_sigmas = [] if light else engine.commit_many(
-        s_sigma_polynomials, blinding=False)
+        sigma_vals_dev = ints_to_device_matrix(spec, sigma_chunks)
+        s_sigma_polynomials = jax.jit(lambda v: ifft(fft_n, v))(sigma_vals_dev)
+        s_sigma_values_8n = _lde_8n(spec, fft_8n, s_sigma_polynomials)
+        c_s_sigmas = engine.commit_many(s_sigma_polynomials, blinding=False)
 
     return Circuit(
         curve=builder.curve,

@@ -52,13 +52,23 @@ def halo_n(curve: CurveSpec, s_bits: List[bool]) -> int:
     """The injective endomorphism map n(x) (Halo Alg. 2 variant starting at
     (a,b)=(0,0); reference: plonk_util.rs:50-76).  s_bits little-endian,
     length = security_bits (even); processed in (lo, hi) bit pairs from the
-    LOW end first (rust chunks(2) over the canonical LE bit vec)."""
+    HIGH end first.
+
+    PAIR-ORDER NOTE: the reference's native map processes pairs from the LOW
+    end (plonk_util.rs chunks(2) over the LE bit vec) while its in-circuit
+    endo walk processes them from the HIGH end
+    (circuit_curve.rs:459 `.step_by(2).rev()`) -- the two encodings
+    disagree, one of the reasons its recursive verification cannot pass.
+    n() only needs to be a fixed injective map, so we define BOTH the native
+    map and the circuit walk as HIGH-first (the circuit layout's natural
+    order, which also lets the unsigned in-gate accumulator compose the
+    scalar MSB-first)."""
     spec = curve.scalar  # result lives in the scalar field of `curve`
     p = spec.p
     assert len(s_bits) % 2 == 0
     a = 0
     b = 0
-    for i in range(0, len(s_bits), 2):
+    for i in range(len(s_bits) - 2, -1, -2):
         bit_lo = s_bits[i]
         bit_hi = s_bits[i + 1]
         sign = 1 if bit_lo else p - 1
@@ -70,14 +80,16 @@ def halo_n(curve: CurveSpec, s_bits: List[bool]) -> int:
 
 def halo_n_mul(curve: CurveSpec, s_bits: List[bool],
                pt: chost.AffinePoint) -> chost.AffinePoint:
-    """[n(s)] P via the endomorphism (Halo Alg. 1 variant; reference: :79-110)."""
+    """[n(s)] P via the endomorphism (Halo Alg. 1 variant; reference:
+    :79-110).  Pair order HIGH-first, matching halo_n and the CurveEndoGate
+    walk (see halo_n's pair-order note)."""
     assert len(s_bits) % 2 == 0
     p_p = pt
     p_n = pt.neg()
     endo_p = pt.endomorphism()
     endo_n = endo_p.neg()
     acc = chost.zero_point(curve)
-    for i in range(0, len(s_bits), 2):
+    for i in range(len(s_bits) - 2, -1, -2):
         bit_lo = s_bits[i]
         bit_hi = s_bits[i + 1]
         if bit_hi:

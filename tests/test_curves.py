@@ -103,3 +103,23 @@ def test_msm_vs_naive(n, c):
     s = fops.from_ints(curve.scalar, scalars)
     got = device_to_points(curve, cmsm.msm_jit(curve, c)(d, s))
     assert got == expected
+
+
+def test_halo_n_mul_identity():
+    """[n(s)] P via the endomorphism walk equals plain mul by n(s) -- the
+    identity Halo recursion rests on (and the reason halo_n / halo_n_mul /
+    CurveEndoGate must all process bit pairs in the SAME order; see the
+    pair-order note in plonk_util.halo_n)."""
+    from plonky_tpu.protocol.plonk_util import (
+        halo_n,
+        halo_n_mul,
+        scalar_to_bits_le,
+    )
+
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    pt = chost.mul(g, 31415926535)
+    for s in [0, 1, 2, 0xDEADBEEF, (1 << 128) - 1, 0x123456789ABCDEF0F00D]:
+        bits = scalar_to_bits_le(s, 128)
+        n_s = halo_n(curve, bits)
+        assert halo_n_mul(curve, bits, pt) == chost.mul(pt, n_s), hex(s)
