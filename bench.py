@@ -39,13 +39,18 @@ def main():
     rng = np.random.default_rng(0)
     a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n_mul), dtype=np.int32))
     b = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n_mul), dtype=np.int32))
+    def sync(arr):
+        """Force completion via a tiny host readback (block_until_ready can
+        return early on the experimental axon backend)."""
+        np.asarray(arr[:1, :8])
+
     mulf = fops.jitted('mul', F)
-    mulf(a, b).block_until_ready()
+    sync(mulf(a, b))
     t0 = time.time()
     reps = 10
     for _ in range(reps):
         r = mulf(a, b)
-    r.block_until_ready()
+    sync(r)
     mul_per_s = reps * n_mul / (time.time() - t0)
     log(f"field mul: {mul_per_s:.3e} muls/s (batch 2^{lg_mul})")
 
@@ -56,12 +61,12 @@ def main():
     coeffs = jax.numpy.asarray(
         rng.integers(0, 256, (F.n_digits, n_fft), dtype=np.int32))
     ff = jax.jit(lambda c: fft(pre, c))
-    ff(coeffs).block_until_ready()
+    sync(ff(coeffs))
     t0 = time.time()
     reps = 5
     for _ in range(reps):
         r = ff(coeffs)
-    r.block_until_ready()
+    sync(r)
     fft_time = (time.time() - t0) / reps
     butterflies = n_fft // 2 * lg_fft
     fl_per_s = butterflies / fft_time
@@ -86,19 +91,40 @@ def main():
         for _ in range(n_msm)])
     window = int(os.environ.get("PLONKY_BENCH_MSM_WINDOW", "8"))
     msm_fn = cmsm.msm_jit(curve, window)
+
+    def run_msm():
+        """Run + force full materialization.  block_until_ready alone can
+        return early on the experimental axon backend, so sync via a host
+        readback of one output coordinate."""
+        out = msm_fn(P, scalars)
+        np.asarray(out[0])
+        return out
+
     t0 = time.time()
-    out = msm_fn(P, scalars)
-    jax.block_until_ready(out)
+    out = run_msm()
     compile_and_first = time.time() - t0
     log(f"MSM first call (incl. compile): {compile_and_first:.1f}s")
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out = msm_fn(P, scalars)
-    jax.block_until_ready(out)
+        out = run_msm()
     msm_time = (time.time() - t0) / reps
     pts_per_s = n_msm / msm_time
     log(f"MSM 2^{lg_msm} (w={window}): {msm_time*1e3:.1f} ms -> {pts_per_s:.3e} points/s")
+
+    # correctness spot-check vs the host oracle (catches silent garbage).
+    # The bench points form a doubling chain pts[i] = 2^i * pts[0], so
+    # sum_i s_i pts[i] = (sum_i s_i 2^i mod |G|) * pts[0] -- one host mul.
+    x_aff, y_aff, zero = jax.jit(lambda q: cops.to_affine(curve, q))(out)
+    got = chost.AffinePoint(curve, fops.to_ints(curve.base, x_aff),
+                            fops.to_ints(curve.base, y_aff))
+    scal_ints = fops.to_ints(curve.scalar, scalars)
+    total = 0
+    for i, s in enumerate(scal_ints):
+        total = (total + (int(s) << i)) % curve.scalar.p
+    expected = chost.mul(pts[0], total)
+    assert not bool(np.asarray(zero)) and got == expected, "MSM result wrong!"
+    log("MSM result verified against host oracle")
 
     print(json.dumps({
         "metric": f"msm_points_per_s_2e{lg_msm}",

@@ -78,10 +78,45 @@ def _ps(f, *terms) -> _LV:
 def add(curve: CurveSpec, p1: Point, p2: Point) -> Point:
     """Complete projective addition, RCB15 Algorithm 7 (a = 0).
 
-    Lazy adds + 9 fused product-sum reductions (instead of 12 multiplies
-    each with its own reduction) keep the traced graph per batched
-    point-add small.
-    """
+    On TPU with a lane-aligned batch the whole formula runs as ONE fused
+    Pallas kernel (see _fused_point_op); otherwise lazy adds + 9 fused
+    product-sum reductions keep the traced graph per batched point-add
+    small."""
+    fused = _fused_point_op(curve, _add_body, [*p1, *p2])
+    if fused is not None:
+        return fused
+    return _add_body(curve, p1, p2)
+
+
+def _fused_point_op(curve: CurveSpec, body, arrays):
+    """Run a point-formula body as one fused Pallas kernel when applicable.
+    arrays: the coordinate arrays (each [D, *batch], batches broadcastable).
+    Returns None when the fused path does not apply."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from ..fields import pallas_kernels as pk
+    batch = jnp.broadcast_shapes(*[a.shape[1:] for a in arrays])
+    B = 1
+    for d in batch:
+        B *= d
+    if not pk.fusion_applicable(B):
+        return None
+    D = arrays[0].shape[0]
+    flat = [jnp.broadcast_to(a, (a.shape[0], *batch)).reshape(a.shape[0], B)
+            for a in arrays]
+    n_pts = len(arrays) // 3
+
+    def kernel_body(ins):
+        pts = [tuple(ins[3 * k:3 * k + 3]) for k in range(n_pts)]
+        return list(body(curve, *pts))
+
+    out = pk.fused_composite(kernel_body, flat, 3, D)
+    return tuple(o.reshape(D, *batch) for o in out)
+
+
+def _add_body(curve: CurveSpec, p1: Point, p2: Point) -> Point:
     f = curve.base
     b3 = 3 * curve.b % f.p
     X1, Y1, Z1 = (_LV(f, t) for t in p1)
@@ -110,7 +145,15 @@ def add(curve: CurveSpec, p1: Point, p2: Point) -> Point:
 
 
 def double(curve: CurveSpec, p: Point) -> Point:
-    """Complete projective doubling, RCB15 Algorithm 9 (a = 0)."""
+    """Complete projective doubling, RCB15 Algorithm 9 (a = 0); fused into
+    one Pallas kernel on TPU (see add)."""
+    fused = _fused_point_op(curve, _double_body, list(p))
+    if fused is not None:
+        return fused
+    return _double_body(curve, p)
+
+
+def _double_body(curve: CurveSpec, p: Point) -> Point:
     f = curve.base
     b3 = 3 * curve.b % f.p
     X, Y, Z = (_LV(f, t) for t in p)

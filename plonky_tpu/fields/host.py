@@ -157,3 +157,17 @@ def rand_range_from_rng(limit: int, n_u64: int, rng) -> int:
             v |= l << (64 * i)
         if v < limit:
             return v
+
+
+def canonical_square_root(spec: FieldSpec, x: int):
+    """The EVEN square root (or None for a non-residue).
+
+    The IPA challenges u_j = sqrt(n(r_j)) must use one canonical root at
+    every site (prover, verifier replay, recursion witness), and the
+    in-circuit decomposition check pins parity 0 (builder
+    deterministic_square_root, reference circuit_builder.rs:474-566), so the
+    even root is the protocol-wide choice."""
+    s = square_root(spec, x)
+    if s is None:
+        return None
+    return s if s % 2 == 0 else spec.p - s

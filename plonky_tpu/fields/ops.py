@@ -80,10 +80,29 @@ def _carry_lookahead(x: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(L, dtype=jnp.int32).reshape((L,) + (1,) * (s.ndim - 1))
     gen = jnp.where(s == DIGIT_BASE, idx, -1)
     kill = jnp.where(s < DIGIT_MASK, idx, -1)
-    G = jax.lax.cummax(gen, axis=0)
-    K = jax.lax.cummax(kill, axis=0)
+    G = _cummax_digits(gen)
+    K = _cummax_digits(kill)
     carry_in = _shift_up((G > K).astype(jnp.int32))
     return (s + carry_in) & DIGIT_MASK
+
+
+def _cummax_digits(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative max along the (short) digit axis.
+
+    TPU (and inside Pallas kernels): unrolled Hillis-Steele shift-max scan
+    -- log2(L) pad+max steps beat lax.cummax's TPU lowering and are
+    Mosaic-compatible.  CPU: lax.cummax (the unrolled pads are SLOWER
+    there)."""
+    if not _on_tpu():
+        return jax.lax.cummax(x, axis=0)
+    L = x.shape[0]
+    d = 1
+    while d < L:
+        pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+        shifted = jnp.pad(x, pad, constant_values=-1)[:L]
+        x = jnp.maximum(x, shifted)
+        d *= 2
+    return x
 
 
 def normalize(x: jnp.ndarray, digit_bound: int, value_bound: int) -> Tuple[jnp.ndarray, int]:
@@ -100,14 +119,33 @@ def normalize(x: jnp.ndarray, digit_bound: int, value_bound: int) -> Tuple[jnp.n
     return x[:out_len], value_bound
 
 
+@functools.lru_cache(maxsize=None)
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def conv_safe_limit() -> int:
+    """Static bound under which min(La,Lb)*da*db products may accumulate.
+
+    On TPU the convolution runs as an f32 Pallas kernel (TPU VPUs have no
+    fast int32 multiply), so sums must stay exactly representable in f32;
+    elsewhere the int32 grouped-conv limit applies."""
+    from .pallas_kernels import F32_EXACT
+    return F32_EXACT if _on_tpu() else INT32_SAFE
+
+
 def conv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full digit convolution: out[k] = sum_{i+j=k} a[i] b[j].
 
-    Lowered as ONE grouped 1-D convolution primitive (feature_group_count =
-    batch), keeping traced programs small -- a shift-add loop would add
-    O(D) ops to the jaxpr per field multiply and make tracing the protocol
-    graphs pathologically slow.  Safe when
-    min(La,Lb) * digit_bound(a) * digit_bound(b) < 2^31.
+    Safe when min(La,Lb) * digit_bound(a) * digit_bound(b) <
+    conv_safe_limit().
+
+    TPU: f32 Pallas kernel (exact under the f32 limit; int32 multiplies are
+    emulated on the VPU and ~100x slower).  Fallback (CPU, tiny or
+    lane-misaligned batches): ONE grouped 1-D convolution primitive
+    (feature_group_count = batch), keeping traced programs small -- a
+    shift-add loop would add O(D) ops to the jaxpr per field multiply and
+    make tracing the protocol graphs pathologically slow.
     """
     La, Lb = a.shape[0], b.shape[0]
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -118,6 +156,17 @@ def conv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         B *= d
     if B == 0:  # empty batch (e.g. odd-length associative_scan slices)
         return jnp.zeros((La + Lb - 1, *batch), dtype=jnp.int32)
+    if _on_tpu():
+        from . import pallas_kernels as pk
+        if pk.in_kernel():
+            return pk.conv_f32_unrolled(a, b)
+        if pk.pallas_conv_applicable(B):
+            out = pk.conv_pallas(a.reshape(La, B), b.reshape(Lb, B))
+            return out.reshape(La + Lb - 1, *batch)
+        # Small/misaligned batches: still avoid int32 multiplies (emulated
+        # on the TPU VPU) -- unrolled f32 shift-add, exact under the same
+        # F32_EXACT bound the callers enforce on TPU.
+        return pk.conv_f32_unrolled(a, b)
     lhs = a.reshape(La, B).T[None]             # [1, B, La]
     rhs = b.reshape(Lb, B).T[:, None, ::-1]    # [B, 1, Lb] (flip: conv, not corr)
     out = jax.lax.conv_general_dilated(
@@ -149,14 +198,26 @@ def _fold_value_bound(value_bound: int, cap: int, k: int, p: int) -> int:
 
 
 def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
-                value_bound: int) -> jnp.ndarray:
+                value_bound: int, _in_kernel: bool = False,
+                _fold_rows_arr=None) -> jnp.ndarray:
     """Reduce a bounded digit array to the working form:
 
     D = spec.n_digits digits, each in [0, 255], value < 256^D, value preserved
     mod p.  Static-bound-driven loop; terminates in <= 4 iterations thanks to
     the 2-digit headroom in D.
+
+    On TPU with a lane-aligned batch, the whole loop runs as ONE fused
+    Pallas kernel in VMEM (the XLA formulation is HBM-traffic bound);
+    `_in_kernel` marks the re-trace of this same body inside that kernel.
     """
     D = spec.n_digits
+    if not _in_kernel and _on_tpu():
+        from . import pallas_kernels as pk
+        B = 1
+        for d in x.shape[1:]:
+            B *= d
+        if not pk.in_kernel() and pk.pallas_conv_applicable(B):
+            return pk.reduce_work_pallas(spec, x, digit_bound, value_bound)
     fold_rows = spec.fold_rows  # numpy [D+4, D]
     cap = 1 << (DIGIT_BITS * D)
 
@@ -182,8 +243,20 @@ def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
         k = L - D
         assert k <= fold_rows.shape[0], (L, D)
         hi = x[D:]
-        rows = jnp.asarray(fold_rows[:k])  # [k, D]
-        folded = jnp.einsum('k...,kd->d...', hi, rows)
+        if _fold_rows_arr is not None:
+            rows = _fold_rows_arr[:k]  # [k, D]
+        else:
+            from .pallas_kernels import kernel_const
+            rows = kernel_const(f"fold:{spec.name}:{k}",
+                                lambda k=k: fold_rows[:k])
+        if _on_tpu():
+            # f32 matmul (MXU-friendly; int32 muls are emulated on TPU).
+            # Exact: digits <= 255 after normalize, k <= D+4, so sums are
+            # < (D+4)*255^2 < 2^24.
+            folded = jnp.einsum('k...,kd->d...', hi.astype(jnp.float32),
+                                rows.astype(jnp.float32)).astype(jnp.int32)
+        else:
+            folded = jnp.einsum('k...,kd->d...', hi, rows)
         x = x[:D] + folded
         digit_bound = DIGIT_MASK + k * DIGIT_MASK * DIGIT_MASK
         value_bound = _fold_value_bound(value_bound, cap, k, spec.p)
@@ -195,6 +268,13 @@ def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
 # int32 digits in [0,255], value < 256^D, congruent to the field element.
 # (Not necessarily < p; use canonicalize() at observation boundaries.)
 # ---------------------------------------------------------------------------
+
+def _add_one_lsd(x: jnp.ndarray) -> jnp.ndarray:
+    """x with 1 added to the least-significant digit row (slice+concat
+    instead of .at[0].add, which lowers to scatter-add -- unsupported in
+    Pallas TPU kernels)."""
+    return jnp.concatenate([x[:1] + 1, x[1:]], axis=0)
+
 
 def zeros(spec: FieldSpec, batch=()) -> jnp.ndarray:
     return jnp.zeros((spec.n_digits, *batch), dtype=jnp.int32)
@@ -214,9 +294,10 @@ def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     D = spec.n_digits
     cap = 1 << (DIGIT_BITS * D)
     s = a + (DIGIT_MASK - b)
-    pad = jnp.asarray(spec.sub_pad)
+    from .pallas_kernels import kernel_const
+    pad = kernel_const(f"subpad:{spec.name}", lambda: np.asarray(spec.sub_pad))
     s = s + pad.reshape((D,) + (1,) * (s.ndim - 1))
-    s = s.at[0].add(1)
+    s = _add_one_lsd(s)
     k_c = -(-cap // spec.p)
     return reduce_work(spec, s, 3 * DIGIT_MASK + 1, cap + k_c * spec.p)
 
@@ -226,10 +307,39 @@ def neg(spec: FieldSpec, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    fused = fused_elementwise(
+        spec, lambda ins: [_mul_body(spec, ins[0], ins[1])], [a, b],
+        tile=2048)
+    if fused is not None:
+        return fused[0]
+    return _mul_body(spec, a, b)
+
+
+def _mul_body(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     D = spec.n_digits
     cap = 1 << (DIGIT_BITS * D)
     c = conv(a, b)  # [2D-1], digit bound D*255^2 ~ 2^22
     return reduce_work(spec, c, D * DIGIT_MASK * DIGIT_MASK, cap * cap)
+
+
+def fused_elementwise(spec: FieldSpec, body, arrays, n_outs: int = 1,
+                      tile: int = 1024):
+    """Fuse a composite of field ops over broadcastable [L, *batch] arrays
+    into ONE Pallas kernel on TPU (all intermediates in VMEM).  Returns None
+    when not applicable (CPU, in-kernel already, tiny/misaligned batch)."""
+    if not _on_tpu():
+        return None
+    from . import pallas_kernels as pk
+    batch = jnp.broadcast_shapes(*[x.shape[1:] for x in arrays])
+    B = 1
+    for d in batch:
+        B *= d
+    if not pk.fusion_applicable(B):
+        return None
+    flat = [jnp.broadcast_to(x, (x.shape[0], *batch)).reshape(x.shape[0], B)
+            for x in arrays]
+    out = pk.fused_composite(body, flat, n_outs, spec.n_digits, tile=tile)
+    return tuple(o.reshape(spec.n_digits, *batch) for o in out)
 
 
 def square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -271,7 +381,9 @@ def sub_raw(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, db_b: int) -> jnp.n
     value is congruent to a - b mod p."""
     cb = max(8, db_b.bit_length())
     comp = ((1 << cb) - 1) - b
-    K = jnp.asarray(_comp_constant(spec, cb)).reshape(
+    from .pallas_kernels import kernel_const
+    K = kernel_const(f"comp:{spec.name}:{cb}",
+                     lambda: _comp_constant(spec, cb)).reshape(
         (spec.n_digits,) + (1,) * (a.ndim - 1))
     return a + comp + K
 
@@ -313,8 +425,9 @@ def product_sum(spec: FieldSpec, terms) -> jnp.ndarray:
             dcb = da
             vb = _value_bound_of_digits(a.shape[0], da)
         else:
-            # conv overflow guard
-            while min(a.shape[0], b.shape[0]) * da * db > INT32_SAFE:
+            # conv overflow guard (f32-exactness limit on TPU)
+            limit = conv_safe_limit()
+            while min(a.shape[0], b.shape[0]) * da * db > limit:
                 if da >= db:
                     a, da = normalize_partial(
                         a, da, _value_bound_of_digits(a.shape[0], da))
@@ -350,7 +463,9 @@ def product_sum(spec: FieldSpec, terms) -> jnp.ndarray:
     vb_tot = sum(vb for _, _, vb in parts)
     if k_fixup:
         Lm = max(L, D)
-        K = jnp.asarray(int_to_digits(k_fixup, D)).reshape(
+        from .pallas_kernels import kernel_const
+        K = kernel_const(f"fixup:{spec.name}:{k_fixup}",
+                         lambda: int_to_digits(k_fixup, D)).reshape(
             (D,) + (1,) * (total.ndim - 1))
         total = _pad_len(total, Lm) + _pad_len(K, Lm)
         db_tot += DIGIT_MASK
@@ -493,7 +608,7 @@ def canonicalize(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     # r = (v - q3*p) mod 256^(k+1), via complement add; true r in [0, 3p)
     r1 = x[:k + 1]
     s = r1 + (DIGIT_MASK - r2)
-    s = s.at[0].add(1)
+    s = _add_one_lsd(s)
     sn, _ = normalize(s, 2 * DIGIT_MASK + 1, 1 << (DIGIT_BITS * (k + 2)))
     r = _pad_len(sn, k + 2)[:k + 1]   # drop the wrap-around carry: mod 256^(k+1)
 

@@ -97,7 +97,7 @@ class PlookupProof:
             challenger.observe_affine_points([l, r])
             r_sf = try_convert(challenger.get_challenge(), sf)
             u_j_sq = halo_n(curve, scalar_to_bits_le(r_sf, SECURITY_BITS))
-            u_j = fhost.square_root(sf, u_j_sq)
+            u_j = fhost.canonical_square_root(sf, u_j_sq)
             assert u_j is not None, "prover should have ensured n(r) square"
             halo_us.append(u_j)
         challenger.observe_affine_point(self.halo_proof.schnorr_proof.r)

@@ -82,9 +82,20 @@ def _fft_core(pre: FftPrecomputation, x: jnp.ndarray, inverse: bool) -> jnp.ndar
         odd = y[..., 1, :]
         # broadcast twiddles [D, m] over [D, .., n/2m, m]
         twb = tw.reshape((spec.n_digits,) + (1,) * (even.ndim - 2) + (m,))
-        t = fops.mul(spec, odd, twb)
-        out0 = fops.add(spec, even, t)
-        out1 = fops.sub(spec, even, t)
+
+        def butterfly(ins):
+            ev, od, tww = ins
+            t_ = fops.mul(spec, od, tww)
+            return [fops.add(spec, ev, t_), fops.sub(spec, ev, t_)]
+
+        fused = fops.fused_elementwise(spec, butterfly, [even, odd, twb],
+                                       n_outs=2)
+        if fused is not None:
+            out0, out1 = fused
+        else:
+            t = fops.mul(spec, odd, twb)
+            out0 = fops.add(spec, even, t)
+            out1 = fops.sub(spec, even, t)
         x = jnp.concatenate([out0[..., None, :], out1[..., None, :]],
                             axis=-2).reshape(*x.shape[:-1], n)
     if inverse:

@@ -194,7 +194,7 @@ def batch_opening_proof(
             r_bf = fork.get_challenge()
             r_sf = try_convert(r_bf, sf)
             u_j_squared = halo_n(curve, scalar_to_bits_le(r_sf, security_bits))
-            u_j = fhost.square_root(sf, u_j_squared)
+            u_j = fhost.canonical_square_root(sf, u_j_squared)
             if u_j is not None:
                 u_sq_inv = pow(u_j_squared, -1, p)
                 halo_l.append(halo_l_j)

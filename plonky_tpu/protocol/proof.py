@@ -116,7 +116,7 @@ class Proof:
             r_bf = challenger.get_challenge()
             r_sf = try_convert(r_bf, sf)
             u_j_sq = halo_n(curve, scalar_to_bits_le(r_sf, SECURITY_BITS))
-            u_j = fhost.square_root(sf, u_j_sq)
+            u_j = fhost.canonical_square_root(sf, u_j_sq)
             if u_j is None:
                 raise ValueError(
                     "Invalid transcript. Prover should have ensured n(r) square")

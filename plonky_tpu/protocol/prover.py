@@ -25,6 +25,7 @@ from ..hashing.challenger import Challenger
 from ..poly.fft import coset_fft, coset_ifft, fft, ifft, powers_device
 from ..poly.polynomial import divide_by_z_h, eval_at
 from ..utils import ceil_div
+from ..utils.timing import phase
 from . import halo as halo_mod
 from .circuit import Circuit, ints_to_device_matrix
 from .plonk_util import try_convert
@@ -43,14 +44,16 @@ def generate_proof(circuit: Circuit, witness: Witness,
     challenger = Challenger(bf, circuit.security_bits)
 
     # --- wires -> polynomials -> 8n LDE (plonk.rs:93-97) -----------------
-    wire_values = witness.transpose()          # host [9][n]
-    wires_dev = ints_to_device_matrix(sf, wire_values)   # [D, 9, n]
-    wire_polys = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_dev)
-    wires_8n = _lde(circuit, wire_polys)
+    with phase("prover.wire_ldes"):
+        wire_values = witness.transpose()          # host [9][n]
+        wires_dev = ints_to_device_matrix(sf, wire_values)   # [D, 9, n]
+        wire_polys = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_dev)
+        wires_8n = _lde(circuit, wire_polys)
 
     # --- commit wires (plonk.rs:100-105) ----------------------------------
-    c_wires = circuit.commit_engine.commit_many(
-        wire_polys, blinding, halo_mod.RANDOM_SOURCE)
+    with phase("prover.commit_wires"):
+        c_wires = circuit.commit_engine.commit_many(
+            wire_polys, blinding, halo_mod.RANDOM_SOURCE)
 
     num_pi_gates = ceil_div(circuit.num_public_inputs, NUM_WIRES)
     # wire polynomials with PI-gate rows zeroed (plonk.rs:109-118)
@@ -77,8 +80,9 @@ def generate_proof(circuit: Circuit, witness: Witness,
     alpha = try_convert(challenger.get_challenge(), sf)
 
     # --- vanishing polynomial at 8n points (plonk.rs:375-456) --------------
-    vanishing_coeffs = _vanishing_poly(circuit, wires_8n, z_poly,
-                                       alpha, beta, gamma)
+    with phase("prover.vanishing_poly"):
+        vanishing_coeffs = _vanishing_poly(circuit, wires_8n, z_poly,
+                                           alpha, beta, gamma)
 
     # --- t = vanishing / Z_H, split into 7 chunks (plonk.rs:170-197) --------
     t_coeffs = jax.jit(lambda c: divide_by_z_h(sf, c, n))(vanishing_coeffs)
@@ -139,10 +143,11 @@ def generate_proof(circuit: Circuit, witness: Witness,
                       + [0] * len(old_proofs)
                       + [c_pi_quotient.randomness])
 
-    opening_proof = halo_mod.batch_opening_proof(
-        None, all_polys, all_randomness, opening_points,
-        circuit.commit_engine.g_dev, circuit.pedersen_h, circuit.u,
-        u, v, u_scaling, n, circuit.security_bits, challenger, curve)
+    with phase("prover.ipa"):
+        opening_proof = halo_mod.batch_opening_proof(
+            None, all_polys, all_randomness, opening_points,
+            circuit.commit_engine.g_dev, circuit.pedersen_h, circuit.u,
+            u, v, u_scaling, n, circuit.security_bits, challenger, curve)
 
     return Proof(
         c_wires=[c.commitment for c in c_wires],

@@ -183,9 +183,10 @@ class ProofTarget:
 class RecursionPublicInputs:
     """The data this circuit exports (as its own public inputs) for the next
     proof in the cycle to check natively (reference:
-    plonk_recursion.rs:19-34, widened with the extra deferred quantities our
-    corrected design needs: the raw IPA challenges r_j, the mod-q powers of
-    u, the opening-set reductions, halo_b and the inverse-square scalars)."""
+    plonk_recursion.rs:19-34, widened to everything our corrected deferral
+    needs: ALL THREE full opening sets, the raw IPA challenges r_j, the
+    mod-q powers of u, the opening-set reductions, halo_b and the
+    inverse-square scalars)."""
     beta: object
     gamma: object
     alpha: object
@@ -193,15 +194,7 @@ class RecursionPublicInputs:
     v: object
     u: object
     u_scaling: object
-    o_constants: List[object]
-    o_plonk_sigmas: List[object]
-    o_local_wires: List[object]
-    o_right_wires: List[object]
-    o_below_wires: List[object]
-    o_plonk_z_local: object
-    o_plonk_z_right: object
-    o_plonk_t: List[object]
-    o_pi_quotient: object
+    openings: List[List[object]]   # 3 sets x num_kappa, OpeningSet.to_vec order
     halo_us: List[object]
     ipa_rs: List[object]
     u_pows: List[object]
@@ -211,6 +204,55 @@ class RecursionPublicInputs:
     w_invsq: List[object]
     inner_pis: List[object]
     old_proofs: List[object]
+    num_old: int = 0
+
+    # -- reference-parity views into the flat opening exports --------------
+    @property
+    def o_constants(self):
+        return self.openings[0][:NUM_CONSTANTS]
+
+    @property
+    def o_plonk_sigmas(self):
+        c = NUM_CONSTANTS
+        return self.openings[0][c:c + NUM_ROUTED_WIRES]
+
+    def _wires(self, k):
+        off = NUM_CONSTANTS + NUM_ROUTED_WIRES
+        return self.openings[k][off:off + NUM_WIRES]
+
+    @property
+    def o_local_wires(self):
+        return self._wires(0)
+
+    @property
+    def o_right_wires(self):
+        return self._wires(1)
+
+    @property
+    def o_below_wires(self):
+        return self._wires(2)
+
+    @property
+    def o_plonk_z_local(self):
+        return self.openings[0][_Z_IDX]
+
+    @property
+    def o_plonk_z_right(self):
+        return self.openings[1][_Z_IDX]
+
+    @property
+    def o_plonk_t(self):
+        return self.openings[0][_Z_IDX + 1:
+                                _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER]
+
+    @property
+    def o_old_proofs(self):
+        start = _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER
+        return self.openings[0][start:start + self.num_old]
+
+    @property
+    def o_pi_quotient(self):
+        return self.openings[0][-1]
 
     @staticmethod
     def allocate(builder: CircuitBuilder, degree_pow: int, num_kappa: int,
@@ -224,16 +266,7 @@ class RecursionPublicInputs:
             v=b.add_public_input(),
             u=b.add_public_input(),
             u_scaling=b.add_public_input(),
-            o_constants=b.add_public_inputs(NUM_CONSTANTS),
-            o_plonk_sigmas=b.add_public_inputs(NUM_ROUTED_WIRES),
-            o_local_wires=b.add_public_inputs(NUM_WIRES),
-            o_right_wires=b.add_public_inputs(NUM_WIRES),
-            o_below_wires=b.add_public_inputs(NUM_WIRES),
-            o_plonk_z_local=b.add_public_input(),
-            o_plonk_z_right=b.add_public_input(),
-            o_plonk_t=b.add_public_inputs(
-                QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER),
-            o_pi_quotient=b.add_public_input(),
+            openings=[b.add_public_inputs(num_kappa) for _ in range(3)],
             halo_us=b.add_public_inputs(degree_pow),
             ipa_rs=b.add_public_inputs(degree_pow),
             u_pows=b.add_public_inputs(num_kappa),
@@ -243,7 +276,12 @@ class RecursionPublicInputs:
             w_invsq=b.add_public_inputs(degree_pow),
             inner_pis=b.add_public_inputs(num_inner_pis),
             old_proofs=b.add_public_inputs((2 + degree_pow) * num_old_proofs),
+            num_old=num_old_proofs,
         )
+
+
+# index of o_plonk_z within an OpeningSet.to_vec
+_Z_IDX = NUM_CONSTANTS + NUM_ROUTED_WIRES + NUM_WIRES
 
 
 @dataclass
@@ -311,7 +349,7 @@ def _make_opening_set(builder: CircuitBuilder,
 def recursive_verification_circuit(
     curve, inner_curve, degree_pow: int, security_bits: int = 128,
     num_public_inputs: int = 0, num_old_proofs: int = 0,
-    inner_vk=None, light: bool = False,
+    inner_vk=None, light: bool = False, inner_recursion=None,
 ) -> RecursiveCircuit:
     """Build a circuit over `curve` that verifies a proof over `inner_curve`
     (reference: plonk_recursion.rs:41-218).
@@ -320,6 +358,10 @@ def recursive_verification_circuit(
     commitments become circuit constants.  When None, dummy generator points
     are used (the reference always does this, :235-239).
     `num_public_inputs`: the INNER proof's public input count.
+    `inner_recursion`: when the inner proof is itself a recursion proof,
+    {"degree_pow": <two-levels-down degree_pow>, "num_old_proofs": ...} --
+    enables verify_assumptions over the inner proof's exported public
+    inputs, closing the deferral loop.
     `light`: build without Pedersen bases/commitments (constraint checking
     and witness generation only, not proving).
     """
@@ -363,11 +405,19 @@ def recursive_verification_circuit(
         for _ in range(num_old_proofs)
     ]
 
-    # Deferred scalar checks of the proof one level further down, carried by
-    # the inner proof's public inputs (reference: plonk_recursion.rs:99-105).
-    if num_public_inputs > 0:
-        verify_assumptions(builder, inner_curve, degree_pow,
-                           proof.inner_public_inputs)
+    # Deferred scalar checks of the proof TWO levels down, carried by the
+    # inner proof's public inputs (reference: plonk_recursion.rs:99-105).
+    # `inner_recursion` describes that proof: its degree_pow and old-proof
+    # count (they set the PI layout R_1 exported).  Its identities live in
+    # THIS circuit's native field.
+    if inner_recursion is not None:
+        verify_assumptions(builder, inner_curve,
+                           inner_recursion["degree_pow"],
+                           proof.inner_public_inputs,
+                           num_old_proofs=inner_recursion.get(
+                               "num_old_proofs", 0),
+                           num_inner_pis=inner_recursion.get(
+                               "num_inner_pis", 0))
 
     # ---- transcript replay: MUST match Proof.get_challenges exactly -------
     challenger = RecursiveChallenger(builder)
@@ -429,7 +479,7 @@ def recursive_verification_circuit(
         if rj >= q:
             raise ValueError("IPA challenge out of inner-scalar-field range")
         n_r = halo_n(inner_curve, scalar_to_bits_le(rj, security_bits))
-        u_j = fhost.square_root(inner_curve.scalar, n_r)
+        u_j = fhost.canonical_square_root(inner_curve.scalar, n_r)
         if u_j is None:
             raise ValueError("n(r) not a square; invalid transcript")
         return n_r, u_j
@@ -533,21 +583,9 @@ def recursive_verification_circuit(
     builder.copy(pi.v, v)
     builder.copy(pi.u, u)
     builder.copy(pi.u_scaling, u_scaling)
-    for a, b_ in zip(pi.o_constants, proof.o_local.o_constants):
-        builder.copy(a, b_)
-    for a, b_ in zip(pi.o_plonk_sigmas, proof.o_local.o_plonk_sigmas):
-        builder.copy(a, b_)
-    for a, b_ in zip(pi.o_local_wires, proof.o_local.o_wires):
-        builder.copy(a, b_)
-    for a, b_ in zip(pi.o_right_wires, proof.o_right.o_wires):
-        builder.copy(a, b_)
-    for a, b_ in zip(pi.o_below_wires, proof.o_below.o_wires):
-        builder.copy(a, b_)
-    builder.copy(pi.o_plonk_z_local, proof.o_local.o_plonk_z)
-    builder.copy(pi.o_plonk_z_right, proof.o_right.o_plonk_z)
-    for a, b_ in zip(pi.o_plonk_t, proof.o_local.o_plonk_t):
-        builder.copy(a, b_)
-    builder.copy(pi.o_pi_quotient, proof.o_local.o_pi_quotient)
+    for k, os_t in enumerate(proof.all_opening_sets()):
+        for a, b_ in zip(pi.openings[k], os_t.to_vec()):
+            builder.copy(a, b_)
     for a, b_ in zip(pi.halo_us, halo_us):
         builder.copy(a, b_)
     for a, b_ in zip(pi.ipa_rs, raw_ipa_challenges):
@@ -579,22 +617,31 @@ def recursive_verification_circuit(
 # ---------------------------------------------------------------------------
 
 def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
-                       inner_pi_targets: List[object]):
-    """Check the scalar-field identities that the previous recursion circuit
-    deferred (reference: plonk_recursion.rs:465-569).  `inner_pi_targets`
-    carry the previous circuit's exported RecursionPublicInputs values, which
-    are native in THIS circuit's field.
+                       inner_pi_targets: List[object],
+                       num_old_proofs: int = 0, num_inner_pis: int = 0):
+    """Check ALL the scalar-field identities that the previous recursion
+    circuit deferred (reference: plonk_recursion.rs:465-569, which only
+    covers the quotient identity -- and computes zeta^degree with `double`
+    instead of squaring).  `inner_pi_targets` carry the previous circuit's
+    exported RecursionPublicInputs values, which are native in THIS
+    circuit's field; `degree_pow`/`num_old_proofs` describe the proof TWO
+    levels down (the one whose verification was deferred).
 
-    Implements the quotient-polynomial identity at zeta: the gate-constraint
-    recomputation, the permutation f'/g' terms, the L_1 term, the alpha fold,
-    and the comparison against the t openings.  (The reference computes
-    zeta^degree with `double`; that is an evident transcription bug -- the
-    correct operation is squaring, which we use.)"""
-    layout = _pi_index_layout(degree_pow,
-                              num_kappa=(NUM_CONSTANTS + NUM_ROUTED_WIRES
-                                         + NUM_WIRES + 1
-                                         + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER
-                                         + 1))
+    Checks:
+      1. quotient identity at zeta: gate-constraint recomputation +
+         permutation terms + L_1 term, alpha fold, vs the t openings
+      2. u-power chain: u_pows[i] == u^i
+      3. opening-set reductions: osr_k == sum_i o_k[i] * n(u_pows[i]), with
+         n() recomputed in-circuit from constrained bit decompositions, and
+         reduced_opening == sum_k v^k osr_k
+      4. per IPA round: u_j == even sqrt of n(r_j), w_j * n(r_j) == 1
+      5. halo_b == sum_k v^k g(x_k, {u_j}) at x in {zeta, g zeta, g^65 zeta}
+      6. old-proof evaluations: g(zeta, old_us) == o_old openings
+    """
+    num_kappa = (NUM_CONSTANTS + NUM_ROUTED_WIRES + NUM_WIRES + 1
+                 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER + num_old_proofs + 1)
+    layout = _pi_index_layout(degree_pow, num_kappa, num_inner_pis,
+                              num_old_proofs)
     need = layout["end"]
     assert len(inner_pi_targets) >= need, \
         f"inner proof carries {len(inner_pi_targets)} PIs, need >= {need}"
@@ -609,18 +656,33 @@ def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
     one = b.one_wire()
     spec = b.spec
     beta, gamma, alpha, zeta = tg("beta"), tg("gamma"), tg("alpha"), tg("zeta")
-    o_constants = tg("o_constants")
-    o_sigmas = tg("o_plonk_sigmas")
-    o_local_wires = tg("o_local_wires")
-    o_right_wires = tg("o_right_wires")
-    o_below_wires = tg("o_below_wires")
-    o_z_local = tg("o_plonk_z_local")
-    o_z_right = tg("o_plonk_z_right")
-    o_t = tg("o_plonk_t")
+    v, u = tg("v"), tg("u")
+    openings = [tg(f"openings_{k}") for k in range(3)]
+    wire_off = NUM_CONSTANTS + NUM_ROUTED_WIRES
+    o_constants = openings[0][:NUM_CONSTANTS]
+    o_sigmas = openings[0][NUM_CONSTANTS:wire_off]
+    o_local_wires = openings[0][wire_off:wire_off + NUM_WIRES]
+    o_right_wires = openings[1][wire_off:wire_off + NUM_WIRES]
+    o_below_wires = openings[2][wire_off:wire_off + NUM_WIRES]
+    o_z_local = openings[0][_Z_IDX]
+    o_z_right = openings[1][_Z_IDX]
+    o_t = openings[0][_Z_IDX + 1:
+                      _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER]
+    old_start = _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER
+    o_old = openings[0][old_start:old_start + num_old_proofs]
+    halo_us = tg("halo_us")
+    ipa_rs = tg("ipa_rs")
+    u_pows = tg("u_pows")
+    osr = tg("osr")
+    reduced_opening = tg("reduced_opening")
+    halo_b = tg("halo_b")
+    w_invsq = tg("w_invsq")
+    old_block = tg("old_proofs") if num_old_proofs else []
 
     degree = 1 << degree_pow
     degree_wire = b.constant_wire(degree)
 
+    # ---- 1. quotient identity at zeta -------------------------------------
     # zeta^degree by repeated SQUARING
     zeta_power_d = zeta
     for _ in range(degree_pow):
@@ -658,8 +720,90 @@ def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
     o_t_eval = reduce_with_powers_recursive(b, o_t, zeta_power_d)
     b.copy(quotient_eval, o_t_eval)
 
+    # ---- 2. u-power chain --------------------------------------------------
+    b.copy(u_pows[0], one)
+    for i in range(1, num_kappa):
+        b.copy(b.mul(u, u_pows[i - 1]), u_pows[i])
 
-def _pi_index_layout(degree_pow: int, num_kappa: int):
+    # The two-down proof is over THIS circuit's own curve, so its n() uses
+    # our curve's zeta_scalar (an element of our native field).
+    zeta_scalar = b.curve.zeta_scalar
+    f_bits = spec.bits - 1
+
+    def n_of(x):
+        bits = b.assert_binary_composition(x, f_bits)
+        return n_recursive(b, zeta_scalar, bits[:128])
+
+    # ---- 3. opening-set reductions ----------------------------------------
+    n_pows = [n_of(up) for up in u_pows]
+    for k in range(3):
+        acc = b.zero_wire()
+        for i in range(num_kappa):
+            acc = b.mul_add(openings[k][i], n_pows[i], acc)
+        b.copy(acc, osr[k])
+    b.copy(reduce_with_powers_recursive(b, osr, v), reduced_opening)
+
+    # ---- 4. IPA round scalars ----------------------------------------------
+    for j in range(degree_pow):
+        n_r = n_of(ipa_rs[j])
+        b.copy(b.mul(w_invsq[j], n_r), one)
+        u_j = b.deterministic_square_root(n_r)   # pins the EVEN root
+        b.copy(u_j, halo_us[j])
+
+    # ---- 5. halo_b ----------------------------------------------------------
+    gen_n = fhost.primitive_root_of_unity(spec, degree_pow)
+    g65 = pow(gen_n, GRID_WIDTH, spec.p)
+    pts = [zeta,
+           b.mul(b.constant_wire(gen_n), zeta),
+           b.mul(b.constant_wire(g65), zeta)]
+    halo_bs = [halo_g_recursive(b, x, halo_us) for x in pts]
+    b.copy(reduce_with_powers_recursive(b, halo_bs, v), halo_b)
+
+    # ---- 6. old-proof evaluations ------------------------------------------
+    shift = 2 + degree_pow
+    for i in range(num_old_proofs):
+        us_i = old_block[shift * i + 2:shift * i + 2 + degree_pow]
+        computed = halo_g_recursive(b, zeta, us_i)
+        b.copy(computed, o_old[i])
+
+
+def n_recursive(builder: CircuitBuilder, zeta_scalar: int, bits: List[object]):
+    """In-circuit n(): the endomorphism scalar map over 128 boolean targets
+    (LE), pair order HIGH-first matching plonk_util.halo_n.  The bits MUST
+    already be constrained boolean (assert_binary_composition)."""
+    b = builder
+    one = b.one_wire()
+    two = b.constant_wire(2)
+    a = b.zero_wire()
+    acc_b = b.zero_wire()
+    assert len(bits) % 2 == 0
+    for k in range(len(bits) // 2 - 1, -1, -1):
+        b0, b1 = bits[2 * k], bits[2 * k + 1]
+        sign = b.sub(b.double(b0), one)      # 2 b0 - 1 in {1, -1}
+        c = b.mul(b1, sign)                   # endo part
+        d = b.sub(sign, c)                    # non-endo part
+        a = b.mul_add(a, two, c)
+        acc_b = b.mul_add(acc_b, two, d)
+    return b.mul_add(a, b.constant_wire(zeta_scalar), acc_b)
+
+
+def halo_g_recursive(builder: CircuitBuilder, x, us: List[object]):
+    """g(x, {u_i}) = prod (u_i x^(2^i) + u_i^-1) in-circuit (reference:
+    plonk_recursion.rs:594-609, with x_power advanced by SQUARING -- the
+    reference doubles, an evident transcription bug)."""
+    b = builder
+    product = b.one_wire()
+    x_power = x
+    for u_i in reversed(us):
+        u_i_inv = b.inv(u_i)
+        term = b.mul_add(u_i, x_power, u_i_inv)
+        product = b.mul(product, term)
+        x_power = b.square(x_power)
+    return product
+
+
+def _pi_index_layout(degree_pow: int, num_kappa: int,
+                     num_inner_pis: int = 0, num_old_proofs: int = 0):
     """Index map of RecursionPublicInputs.allocate's flat PI ordering."""
     layout = {}
     i = 0
@@ -676,14 +820,9 @@ def _pi_index_layout(degree_pow: int, num_kappa: int):
 
     one("beta"); one("gamma"); one("alpha"); one("zeta")
     one("v"); one("u"); one("u_scaling")
-    many("o_constants", NUM_CONSTANTS)
-    many("o_plonk_sigmas", NUM_ROUTED_WIRES)
-    many("o_local_wires", NUM_WIRES)
-    many("o_right_wires", NUM_WIRES)
-    many("o_below_wires", NUM_WIRES)
-    one("o_plonk_z_local"); one("o_plonk_z_right")
-    many("o_plonk_t", QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER)
-    one("o_pi_quotient")
+    many("openings_0", num_kappa)
+    many("openings_1", num_kappa)
+    many("openings_2", num_kappa)
     many("halo_us", degree_pow)
     many("ipa_rs", degree_pow)
     many("u_pows", num_kappa)
@@ -691,6 +830,8 @@ def _pi_index_layout(degree_pow: int, num_kappa: int):
     one("reduced_opening")
     one("halo_b")
     many("w_invsq", degree_pow)
+    many("inner_pis", num_inner_pis)
+    many("old_proofs", (2 + degree_pow) * num_old_proofs)
     layout["end"] = i
     return layout
 

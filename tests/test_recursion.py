@@ -9,6 +9,9 @@ The key assets:
   witness satisfying every gate constraint (checked row by row on host).
   The reference can't do this (its recursive e2e test is #[ignore]d); here
   satisfaction means a recursive proof can actually be generated.
+* verify_assumptions -- the NEXT level's native re-checks of everything the
+  recursion circuit deferred -- is satisfied by the level-1 circuit's real
+  exported public inputs, closing the deferral loop.
 """
 
 import numpy as np
@@ -24,21 +27,26 @@ from plonky_tpu.protocol.checks import (
     check_circuit_constraints,
     check_copy_constraints,
 )
-from plonky_tpu.protocol.recursion import recursive_verification_circuit
+from plonky_tpu.protocol.recursion import (
+    recursive_verification_circuit,
+    verify_assumptions,
+)
 
 SECURITY_BITS = 128
 
 
-@pytest.fixture(autouse=True)
-def deterministic_randomness(monkeypatch):
+@pytest.fixture(scope="module")
+def pinned_randomness():
     rng = np.random.default_rng(271828)
 
     def fake_random(p):
         return int.from_bytes(rng.bytes(40), "little") % p
 
-    monkeypatch.setattr(builder_mod, "RANDOM_SOURCE", fake_random)
-    monkeypatch.setattr(halo_mod, "RANDOM_SOURCE", fake_random)
+    old_b, old_h = builder_mod.RANDOM_SOURCE, halo_mod.RANDOM_SOURCE
+    builder_mod.RANDOM_SOURCE = fake_random
+    halo_mod.RANDOM_SOURCE = fake_random
     yield
+    builder_mod.RANDOM_SOURCE, halo_mod.RANDOM_SOURCE = old_b, old_h
 
 
 def test_recursive_challenger_matches_native():
@@ -65,11 +73,9 @@ def test_recursive_challenger_matches_native():
     assert got == expected
 
 
-def test_recursion_circuit_satisfiable():
-    """Build a real inner proof, populate the recursion circuit with it, and
-    check every gate constraint of the resulting witness is satisfied, plus
-    that the exported deferred data matches the native verifier's values."""
-    # --- inner circuit and proof over Tweedledum ------------------------
+@pytest.fixture(scope="module")
+def level1(pinned_randomness):
+    """A real inner proof and the level-1 recursion circuit's witness."""
     ib = CircuitBuilder(TWEEDLEDUM, SECURITY_BITS)
     t = ib.constant_wire(42)
     ib.assert_zero(ib.sub(t, ib.constant_wire(42)))
@@ -81,39 +87,56 @@ def test_recursion_circuit_satisfiable():
     # sanity: the inner proof verifies natively
     verify_proof([], inner_proof, [], inner_vk, TWEEDLEDEE, verify_g=True)
 
-    degree_pow = inner_circuit.degree_pow()
-
-    # --- recursion circuit over Tweedledee -------------------------------
     rc = recursive_verification_circuit(
-        TWEEDLEDEE, TWEEDLEDUM, degree_pow, SECURITY_BITS,
+        TWEEDLEDEE, TWEEDLEDUM, inner_circuit.degree_pow(), SECURITY_BITS,
         num_public_inputs=0, num_old_proofs=0, inner_vk=inner_vk,
         light=True)
-
     inputs = PartialWitness()
     rc.proof.populate_witness(inputs, inner_proof, [])
     witness = rc.circuit.generate_witness(inputs)
+    return inner_circuit, inner_proof, rc, witness
 
+
+def test_recursion_circuit_satisfiable(level1):
+    """Every gate constraint of the recursion circuit holds on the witness
+    populated from a real inner proof, and the exported deferred data
+    matches the native verifier's values."""
+    inner_circuit, inner_proof, rc, witness = level1
     check_circuit_constraints(rc.circuit, witness)
     check_copy_constraints(rc.circuit, witness)
 
-    # --- exported public inputs match the native verifier ----------------
     challs = inner_proof.get_challenges(TWEEDLEDUM, [], [])
     pis = rc.circuit.get_public_inputs(witness)
-    pw_full = witness
-
-    def pi_val(target):
-        # exported PIs are copied into the PI-gate wires; read via the index
-        return pis[target.index]
-
     p = rc.public_inputs
-    assert pi_val(p.beta) == challs.beta
-    assert pi_val(p.gamma) == challs.gamma
-    assert pi_val(p.alpha) == challs.alpha
-    assert pi_val(p.zeta) == challs.zeta
-    assert pi_val(p.v) == challs.v
-    assert pi_val(p.u) == challs.u
-    assert pi_val(p.u_scaling) == challs.u_scaling
-    assert [pi_val(x) for x in p.halo_us] == challs.halo_us
-    assert [pi_val(x) for x in p.o_constants] == \
+    assert pis[p.beta.index] == challs.beta
+    assert pis[p.gamma.index] == challs.gamma
+    assert pis[p.alpha.index] == challs.alpha
+    assert pis[p.zeta.index] == challs.zeta
+    assert pis[p.v.index] == challs.v
+    assert pis[p.u.index] == challs.u
+    assert pis[p.u_scaling.index] == challs.u_scaling
+    assert [pis[x.index] for x in p.halo_us] == challs.halo_us
+    assert [pis[x.index] for x in p.o_constants] == \
         inner_proof.o_local.o_constants
-    assert [pi_val(x) for x in p.o_plonk_t] == inner_proof.o_local.o_plonk_t
+    assert [pis[x.index] for x in p.o_plonk_t] == inner_proof.o_local.o_plonk_t
+
+
+def test_verify_assumptions_on_real_exports(level1):
+    """Level 2 of the chain: a circuit over Tweedledum containing ONLY
+    verify_assumptions, fed the level-1 circuit's real exported public
+    inputs, is satisfied -- i.e. the next proof in the cycle can natively
+    re-check everything level 1 deferred (quotient identity, u-power chain,
+    opening reductions, IPA square roots/inverses, halo_b)."""
+    inner_circuit, _inner_proof, rc, witness = level1
+    pis = rc.circuit.get_public_inputs(witness)
+
+    b2 = CircuitBuilder(TWEEDLEDUM, SECURITY_BITS)
+    pi_targets = b2.add_virtual_targets(len(pis))
+    verify_assumptions(b2, TWEEDLEDEE, inner_circuit.degree_pow(),
+                       pi_targets, num_old_proofs=0, num_inner_pis=0)
+    c2 = b2.build(inner_curve=TWEEDLEDEE, light=True)
+    inputs = PartialWitness()
+    inputs.set_targets(pi_targets, pis)
+    w2 = c2.generate_witness(inputs)
+    check_circuit_constraints(c2, w2)
+    check_copy_constraints(c2, w2)
