@@ -298,29 +298,20 @@ class CircuitBuilder:
         are usable as trusted decompositions, e.g. for in-circuit n()
         recomputation.)  Assumes x < 2^num_bits (for 254-bit fields this
         fails with probability ~2^-128 on random elements; the reference
-        makes the same top-bit assumption, circuit_curve.rs:419)."""
-        assert num_bits % 2 == 0
+        makes the same top-bit assumption, circuit_curve.rs:419).
+
+        Composition is a mul_add Horner chain over the bits: Base4SumGate
+        folding would be fewer gates, but its limb wires 4..6 are not
+        routable, so values computed by OTHER gates cannot be soundly tied
+        to them by copy constraints (only witness-generated split targets
+        can occupy them, as in assert_dibit_length)."""
         bits = self.split_binary(x, num_bits)
         for bit in bits:
             self.assert_binary(bit)
         two = self.constant_wire(2)
-        dibits = [self.mul_add(bits[2 * k + 1], two, bits[2 * k])
-                  for k in range(num_bits // 2)]
-        msb_first = dibits[::-1]
         s = self.zero_wire()
-        leftover = len(dibits) % Base4SumGate.NUM_LIMBS
-        if leftover:
-            four = self.constant_wire(4)
-            for d in msb_first[:leftover]:
-                s = self.mul_add(s, four, d)
-        for i in range(leftover, len(msb_first), Base4SumGate.NUM_LIMBS):
-            chunk = msb_first[i:i + Base4SumGate.NUM_LIMBS]
-            gate = self.num_gates()
-            self.add_gate_no_constants(Base4SumGate(gate))
-            self.copy(s, Wire(gate, Base4SumGate.WIRE_ACC_OLD))
-            for j, dibit in enumerate(chunk):
-                self.copy(dibit, Wire(gate, Base4SumGate.wire_limb(j)))
-            s = Wire(gate, Base4SumGate.WIRE_ACC_NEW)
+        for bit in reversed(bits):
+            s = self.mul_add(s, two, bit)
         self.copy(s, x)
         return bits
 

@@ -80,31 +80,51 @@ def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:
 
 
 def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
-        window_bits: int = 8) -> cops.Point:
-    """MSM over projective points [D, N] x canonical scalars [Ds, N]."""
+        window_bits: int = 8, window_group: int = 4) -> cops.Point:
+    """MSM over projective points [D, N] x canonical scalars [Ds, N].
+
+    Windows are processed `window_group` at a time: one batched argsort,
+    one segmented scan and one bucket reduction over a [G, N] batch --
+    larger kernels amortize launch overhead and fill the TPU lanes
+    (processing windows one at a time leaves deep scan levels tiny)."""
     c = window_bits
     n_buckets = 1 << c
     digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, N]
     n_windows = digits.shape[0]
     N = digits.shape[1]
+    G = min(window_group, n_windows)
+    if n_windows % G:
+        # pad with most-significant zero windows (bucket 0 is discarded)
+        pad = G - n_windows % G
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((pad, N), digits.dtype)], axis=0)
+        n_windows += pad
 
-    def window_sum(dig):
-        order = jnp.argsort(dig)
-        d_sorted = dig[order]
-        pts = tuple(t[:, order] for t in points)
+    bucket_ids = jnp.arange(n_buckets)
+
+    def group_sum(dig):
+        """dig: [G, N] -> per-window sums, a [.., G] point."""
+        order = jnp.argsort(dig, axis=-1)
+        d_sorted = jnp.take_along_axis(dig, order, axis=-1)
+        pts = tuple(jnp.take_along_axis(
+            jnp.broadcast_to(t[:, None, :], (t.shape[0], G, N)),
+            order[None], axis=-1) for t in points)
         first = jnp.concatenate([
-            jnp.ones((1,), jnp.int32),
-            (d_sorted[1:] != d_sorted[:-1]).astype(jnp.int32)])
+            jnp.ones((G, 1), jnp.int32),
+            (d_sorted[:, 1:] != d_sorted[:, :-1]).astype(jnp.int32)], axis=-1)
         scanned = _segmented_add_scan(curve, pts, first)
-        # last position of each bucket's run
-        pos = jnp.searchsorted(d_sorted, jnp.arange(n_buckets), side='right') - 1
-        present = jnp.searchsorted(d_sorted, jnp.arange(n_buckets), side='left') <= pos
-        ident = cops.identity(curve, (n_buckets,))
-        buckets = cops.select(
-            present, tuple(t[:, jnp.clip(pos, 0, N - 1)] for t in scanned), ident)
+        # last position of each bucket's run, per window row
+        pos = jax.vmap(lambda row: jnp.searchsorted(
+            row, bucket_ids, side='right'))(d_sorted) - 1      # [G, B]
+        lo = jax.vmap(lambda row: jnp.searchsorted(
+            row, bucket_ids, side='left'))(d_sorted)           # [G, B]
+        present = lo <= pos
+        ident = cops.identity(curve, (G, n_buckets))
+        gathered = tuple(jnp.take_along_axis(
+            t, jnp.clip(pos, 0, N - 1)[None], axis=-1) for t in scanned)
+        buckets = cops.select(present, gathered, ident)
         # zero out bucket 0 (digit 0 contributes nothing)
-        mask0 = jnp.arange(n_buckets) > 0
-        buckets = cops.select(mask0, buckets, ident)
+        buckets = cops.select(bucket_ids[None, :] > 0, buckets, ident)
         # sum_j j * B_j: reversed cumulative sums then total
         def comb(a, b):
             return cops.add(curve, a, b)
@@ -112,18 +132,25 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
                                      reverse=True)
         # sum_j j*B_j = sum_{k>=1} T_k (T_0 would double-count)
         T = tuple(t[..., 1:] for t in T)
-        return _tree_reduce(curve, T)
+        return _tree_reduce(curve, T)   # [.., G]
 
     def scan_body(carry, dig):
-        # process windows from most significant: carry = 2^c * carry + W
-        for _ in range(c):
+        # groups from most significant; within a group windows are LSW-first
+        ws = group_sum(dig)
+        group_total = tuple(t[..., G - 1] for t in ws)
+        for j in range(G - 2, -1, -1):
+            for _ in range(c):
+                group_total = cops.double(curve, group_total)
+            group_total = cops.add(
+                curve, group_total, tuple(t[..., j] for t in ws))
+        for _ in range(c * G):
             carry = cops.double(curve, carry)
-        w = window_sum(dig)
-        carry = cops.add(curve, carry, w)
+        carry = cops.add(curve, carry, group_total)
         return carry, None
 
+    groups = digits.reshape(n_windows // G, G, N)
     init = cops.identity(curve)
-    result, _ = jax.lax.scan(scan_body, init, digits[::-1])
+    result, _ = jax.lax.scan(scan_body, init, groups[::-1])
     return result
 
 

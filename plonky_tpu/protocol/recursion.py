@@ -417,7 +417,9 @@ def recursive_verification_circuit(
                            num_old_proofs=inner_recursion.get(
                                "num_old_proofs", 0),
                            num_inner_pis=inner_recursion.get(
-                               "num_inner_pis", 0))
+                               "num_inner_pis", 0),
+                           num_gates_without_pis=inner_recursion.get(
+                               "num_gates_without_pis"))
 
     # ---- transcript replay: MUST match Proof.get_challenges exactly -------
     challenger = RecursiveChallenger(builder)
@@ -618,7 +620,8 @@ def recursive_verification_circuit(
 
 def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
                        inner_pi_targets: List[object],
-                       num_old_proofs: int = 0, num_inner_pis: int = 0):
+                       num_old_proofs: int = 0, num_inner_pis: int = 0,
+                       num_gates_without_pis: Optional[int] = None):
     """Check ALL the scalar-field identities that the previous recursion
     circuit deferred (reference: plonk_recursion.rs:465-569, which only
     covers the quotient identity -- and computes zeta^degree with `double`
@@ -637,6 +640,13 @@ def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
       4. per IPA round: u_j == even sqrt of n(r_j), w_j * n(r_j) == 1
       5. halo_b == sum_k v^k g(x_k, {u_j}) at x in {zeta, g zeta, g^65 zeta}
       6. old-proof evaluations: g(zeta, old_us) == o_old openings
+      7. public-input quotient binding (the native verifier's
+         verifier.rs:127-148 identity, deferred): o_pi_quotient *
+         prod_i(zeta - x_i) == sum_j alpha^j o_local_wires[j] -
+         PI_interp(zeta), where the x_i are the two-down circuit's PI-gate
+         subgroup points and PI_interp interpolates the transported
+         inner_pis.  `num_gates_without_pis` (the two-down vk's value) is
+         required when num_inner_pis > 0.
     """
     num_kappa = (NUM_CONSTANTS + NUM_ROUTED_WIRES + NUM_WIRES + 1
                  + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER + num_old_proofs + 1)
@@ -765,6 +775,37 @@ def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
         us_i = old_block[shift * i + 2:shift * i + 2 + degree_pow]
         computed = halo_g_recursive(b, zeta, us_i)
         b.copy(computed, o_old[i])
+
+    # ---- 7. public-input quotient binding ----------------------------------
+    # (verifier.rs:127-148 recomputed natively one level up.)  Note this is
+    # a real check even with zero PIs: it pins o_pi_quotient to the
+    # alpha-combination of the wire openings.
+    o_pi_quotient = openings[0][num_kappa - 1]
+    inner_pis = tg("inner_pis") if num_inner_pis else []
+    num_pi_gates = (num_inner_pis + NUM_WIRES - 1) // NUM_WIRES
+    if num_pi_gates:
+        assert num_gates_without_pis is not None, \
+            "num_gates_without_pis required to locate the PI-gate points"
+    wire_combo = reduce_with_powers_recursive(b, o_local_wires, alpha)
+    denom = one
+    pi_interp = b.zero_wire()
+    n_inv = pow(degree, -1, spec.p)
+    for g_idx in range(num_pi_gates):
+        # x_i = g^(num_gates_without_pis + 2 i): a build-time constant.
+        x_i = pow(fhost.primitive_root_of_unity(spec, degree_pow),
+                  num_gates_without_pis + 2 * g_idx, spec.p)
+        zeta_minus_xi = b.sub(zeta, b.constant_wire(x_i))
+        denom = b.mul(denom, zeta_minus_xi)
+        # v_g = sum_j pi_{9g+j} alpha^j over this gate's 9 PI slots
+        chunk = [inner_pis[i] if i < num_inner_pis else b.zero_wire()
+                 for i in range(g_idx * NUM_WIRES, (g_idx + 1) * NUM_WIRES)]
+        v_g = reduce_with_powers_recursive(b, chunk, alpha)
+        # L_{x_i}(zeta) = (zeta^d - 1) x_i / (d (zeta - x_i))
+        l_i = b.div(b.mul(zero_eval, b.constant_wire(x_i * n_inv % spec.p)),
+                    zeta_minus_xi)
+        pi_interp = b.mul_add(v_g, l_i, pi_interp)
+    numerator = b.sub(wire_combo, pi_interp)
+    b.copy(b.mul(o_pi_quotient, denom), numerator)
 
 
 def n_recursive(builder: CircuitBuilder, zeta_scalar: int, bits: List[object]):

@@ -90,6 +90,60 @@ def test_proof_quadratic():
     prove_and_verify(build, set_w)
 
 
+def test_proof_with_old_proofs():
+    """OldProof accumulation: proof A defers its linear G check
+    (verify_g=False), and proof B -- over the same curve -- consumes it,
+    opening A's g polynomial at its own zeta (reference:
+    prove_and_verify.rs:30-52, which accumulates x10; two proofs exercise
+    the same produce/consume path)."""
+    builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+    t = builder.constant_wire(42)
+    builder.assert_zero(builder.sub(t, builder.constant_wire(42)))
+    circuit = builder.build()
+    vk = circuit.to_vk()
+
+    witness = circuit.generate_witness(PartialWitness())
+    proof_a = generate_proof(circuit, witness, old_proofs=[], blinding=True)
+    old_a = verify_proof([], proof_a, [], vk, TWEEDLEDUM, verify_g=False)
+    assert old_a is not None and len(old_a.halo_us) == circuit.degree_pow()
+
+    proof_b = generate_proof(circuit, witness, old_proofs=[old_a],
+                             blinding=True)
+    assert verify_proof([], proof_b, [old_a], vk, TWEEDLEDUM,
+                        verify_g=True) is None
+
+
+def test_proof_factorial():
+    """4! == 24 with the result as a public input (reference factorial test
+    shape, prove_and_verify.rs:54-225)."""
+    def build(b):
+        acc = b.one_wire()
+        for k in range(2, 5):
+            acc = b.mul(acc, b.constant_wire(k))
+        out = b.add_public_input()
+        b.copy(acc, out)
+        return out
+
+    prove_and_verify(build, lambda w, out: w.set_target(out, 24),
+                     expected_pis=[24])
+
+
+def test_proof_random_public_inputs():
+    """More PIs than one PI gate holds (spillover into the buffer gate;
+    reference: prove_and_verify.rs:228-283)."""
+    rng = np.random.default_rng(99)
+    vals = [int(x) for x in rng.integers(1, 1 << 30, 12)]
+
+    def build(b):
+        return [b.add_public_input() for _ in vals]
+
+    def set_w(w, ts):
+        for t, v in zip(ts, vals):
+            w.set_target(t, v)
+
+    prove_and_verify(build, set_w, expected_pis=vals)
+
+
 def test_invalid_witness_rejected():
     from plonky_tpu.protocol import VerificationError
 
