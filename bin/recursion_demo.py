@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner-degree-pow", type=int, default=8)
     ap.add_argument("--check-only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the persistent compilation "
+                    "cache makes repeat runs fast; axon TPU executables are "
+                    "not cached across runs)")
     ap.add_argument("--levels", type=int, default=1, choices=(1, 2),
                     help="2 = full cycle: prove the level-1 recursion proof, "
                     "then a level-2 circuit over the partner curve verifies "
@@ -32,6 +36,9 @@ def main():
                     "deferred) while consuming the inner proof's OldProof")
     args = ap.parse_args()
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import plonky_tpu
     plonky_tpu.enable_compilation_cache()
 

@@ -488,11 +488,11 @@ class CircuitBuilder:
 
     def get_routing_partitions(self) -> TargetPartitions:
         partitions = TargetPartitions()
-        for i in range(self.virtual_target_index):
-            partitions.add_partition(VirtualTarget(i))
-        for gate in range(self.num_gates()):
-            for input_ in range(NUM_WIRES):
-                partitions.add_partition(Wire(gate, input_))
+        partitions.add_partitions(
+            [VirtualTarget(i) for i in range(self.virtual_target_index)])
+        partitions.add_partitions(
+            [Wire(gate, input_) for gate in range(self.num_gates())
+             for input_ in range(NUM_WIRES)])
         for a, b in self.copy_constraints:
             partitions.merge(a, b)
         return partitions

@@ -4,6 +4,14 @@
 The partition list ORDER is semantic: a wire's "neighbor" is the next wire in
 its partition list (wrapping), and sigma is built from neighbors, so merge
 order must match the reference exactly (merge appends a's list onto b's).
+
+Implementation: the reference re-indexes every member of the merged
+partition on each merge (O(|a|) dict writes, fine in Rust, quadratic-ish and
+hash-dominated in Python -- measured 268s of a 334s recursion-circuit
+build).  Here a partition is a singly-linked list with union-find roots:
+merge is O(1) (relink tail/head + one parent pointer), membership is a
+path-compressed find, and the ordered lists are materialized only at the
+end.  The resulting order is identical: b's list followed by a's list.
 """
 
 from __future__ import annotations
@@ -18,49 +26,83 @@ from .target import NUM_ROUTED_WIRES, NUM_WIRES, Wire
 
 class TargetPartitions:
     def __init__(self):
-        self.partitions: List[List[object]] = []
-        self.indices: Dict[object, int] = {}
-
-    def get_partition(self, target):
-        return self.partitions[self.indices[target]]
+        self._id: Dict[object, int] = {}
+        self._targets: List[object] = []
+        self._parent: List[int] = []
+        self._next: List[int] = []    # linked-list successor, -1 = end
+        self._head: List[int] = []    # valid at roots
+        self._tail: List[int] = []    # valid at roots
 
     def add_partition(self, target):
-        self.indices[target] = len(self.partitions)
-        self.partitions.append([target])
+        i = len(self._targets)
+        self._id[target] = i
+        self._targets.append(target)
+        self._parent.append(i)
+        self._next.append(-1)
+        self._head.append(i)
+        self._tail.append(i)
+
+    def add_partitions(self, targets: List[object]):
+        """Bulk singleton creation (one dict update + array extends)."""
+        base = len(self._targets)
+        ids = range(base, base + len(targets))
+        self._id.update(zip(targets, ids))
+        self._targets.extend(targets)
+        self._parent.extend(ids)
+        self._next.extend([-1] * len(targets))
+        self._head.extend(ids)
+        self._tail.extend(ids)
+
+    def _find(self, i: int) -> int:
+        parent = self._parent
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
 
     def merge(self, a, b):
         """Append a's partition onto b's (reference: partition.rs:37-52)."""
-        a_index = self.indices[a]
-        b_index = self.indices[b]
-        if a_index != b_index:
-            a_partition = self.partitions[a_index]
-            for sibling in a_partition:
-                self.indices[sibling] = b_index
-            self.partitions[b_index].extend(a_partition)
-            self.partitions[a_index] = []
+        ra = self._find(self._id[a])
+        rb = self._find(self._id[b])
+        if ra != rb:
+            self._next[self._tail[rb]] = self._head[ra]
+            self._tail[rb] = self._tail[ra]
+            self._parent[ra] = rb
+
+    def _iter_ids(self, root: int):
+        i = self._head[root]
+        nxt = self._next
+        while i != -1:
+            yield i
+            i = nxt[i]
+
+    def get_partition(self, target) -> List[object]:
+        root = self._find(self._id[target])
+        targets = self._targets
+        return [targets[i] for i in self._iter_ids(root)]
 
     def to_wire_partitions(self) -> "WirePartitions":
         partitions = []
-        indices = {}
-        for old in self.partitions:
-            partitions.append([t for t in old if isinstance(t, Wire)])
-        for target, index in self.indices.items():
-            if isinstance(target, Wire):
-                indices[target] = index
-        wp = WirePartitions(partitions, indices)
+        for i in range(len(self._targets)):
+            if self._find(i) == i:
+                part = [self._targets[j] for j in self._iter_ids(i)
+                        if type(self._targets[j]) is Wire]
+                partitions.append(part)
+        wp = WirePartitions(partitions)
         wp.assert_valid()
         return wp
 
 
 class WirePartitions:
-    def __init__(self, partitions, indices):
+    def __init__(self, partitions: List[List[Wire]]):
         self.partitions = partitions
-        self.indices = indices
-        # position of each wire within its partition, for O(1) neighbor lookup
-        self._pos = {}
-        for part in self.partitions:
+        self._neighbor: Dict[Wire, Wire] = {}
+        for part in partitions:
+            n = len(part)
             for i, w in enumerate(part):
-                self._pos[w] = i
+                self._neighbor[w] = part[(i + 1) % n]
 
     def assert_valid(self):
         for part in self.partitions:
@@ -70,17 +112,16 @@ class WirePartitions:
                         "Non-routed wires should not share a partition"
 
     def get_neighbor(self, wire: Wire) -> Wire:
-        part = self.partitions[self.indices[wire]]
-        i = self._pos[wire]
-        return part[(i + 1) % len(part)]
+        return self._neighbor[wire]
 
     def to_sigma(self) -> List[int]:
         """sigma: [6n] -> [6n] (reference: partition.rs:120-136)."""
-        num_gates = len(self.indices) // NUM_WIRES
+        num_gates = len(self._neighbor) // NUM_WIRES
         sigma = []
+        nb_map = self._neighbor
         for inp in range(NUM_ROUTED_WIRES):
             for gate in range(num_gates):
-                nb = self.get_neighbor(Wire(gate, inp))
+                nb = nb_map[Wire(gate, inp)]
                 sigma.append(nb.input * num_gates + nb.gate)
         return sigma
 
