@@ -1,15 +1,19 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
 Headline: MSM points/s on the real chip (the prover's dominant kernel;
-BASELINE.md driver target).  Also measures FFT butterflies/s and batched
-field-mul throughput; details go to stderr.
+BASELINE.md driver target), falling back to FFT butterflies/s if the MSM
+phase cannot finish.  Each phase runs in its own SUBPROCESS with a
+deadline: axon TPU executables are not persistently cached, so every run
+repays XLA/Mosaic compiles, and a pathologically slow compile must not
+prevent the harness from reporting the phases that did finish.
 
 Sizes are modest by default so a cold run (compile included) stays bounded;
-override with PLONKY_BENCH_LOG_MSM / PLONKY_BENCH_LOG_FFT.
+override with PLONKY_BENCH_LOG_{MUL,FFT,MSM} and PLONKY_BENCH_TIMEOUT_*.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,30 +24,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def sync(arr):
+    """Force completion via a tiny host readback (block_until_ready can
+    return early on the experimental axon backend; full readbacks go
+    through the slow tunnel)."""
+    small = arr
+    while hasattr(small, "ndim") and small.ndim > 0:
+        small = small[:1]
+    np.asarray(small)
+
+
+# ---------------------------------------------------------------------------
+# Phases (each runs in a child process and prints one JSON line to stdout)
+# ---------------------------------------------------------------------------
+
+def phase_field():
     import jax
-
-    import plonky_tpu
-    plonky_tpu.enable_compilation_cache()
-
-    from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
-    from plonky_tpu.curves import msm as cmsm, ops as cops
     from plonky_tpu.fields import TWEEDLEDEE_BASE as F, ops as fops
-    from plonky_tpu.poly.fft import FftPrecomputation, fft
 
-    log("devices:", jax.devices())
-
-    # ---- field multiply throughput --------------------------------------
-    lg_mul = int(os.environ.get("PLONKY_BENCH_LOG_MUL", "18"))
-    n_mul = 1 << lg_mul
+    lg = int(os.environ.get("PLONKY_BENCH_LOG_MUL", "18"))
+    n = 1 << lg
     rng = np.random.default_rng(0)
-    a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n_mul), dtype=np.int32))
-    b = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n_mul), dtype=np.int32))
-    def sync(arr):
-        """Force completion via a tiny host readback (block_until_ready can
-        return early on the experimental axon backend)."""
-        np.asarray(arr[:1, :8])
-
+    a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
+    b = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
     mulf = fops.jitted('mul', F)
     sync(mulf(a, b))
     t0 = time.time()
@@ -51,15 +54,22 @@ def main():
     for _ in range(reps):
         r = mulf(a, b)
     sync(r)
-    mul_per_s = reps * n_mul / (time.time() - t0)
-    log(f"field mul: {mul_per_s:.3e} muls/s (batch 2^{lg_mul})")
+    rate = reps * n / (time.time() - t0)
+    log(f"field mul: {rate:.3e} muls/s (batch 2^{lg})")
+    return {"field_mul_per_s": rate, "field_mul_log_batch": lg}
 
-    # ---- FFT -------------------------------------------------------------
-    lg_fft = int(os.environ.get("PLONKY_BENCH_LOG_FFT", "14"))
-    n_fft = 1 << lg_fft
-    pre = FftPrecomputation(F, n_fft)
+
+def phase_fft():
+    import jax
+    from plonky_tpu.fields import TWEEDLEDEE_BASE as F
+    from plonky_tpu.poly.fft import FftPrecomputation, fft
+
+    lg = int(os.environ.get("PLONKY_BENCH_LOG_FFT", "14"))
+    n = 1 << lg
+    rng = np.random.default_rng(0)
+    pre = FftPrecomputation(F, n)
     coeffs = jax.numpy.asarray(
-        rng.integers(0, 256, (F.n_digits, n_fft), dtype=np.int32))
+        rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
     ff = jax.jit(lambda c: fft(pre, c))
     sync(ff(coeffs))
     t0 = time.time()
@@ -67,77 +77,119 @@ def main():
     for _ in range(reps):
         r = ff(coeffs)
     sync(r)
-    fft_time = (time.time() - t0) / reps
-    butterflies = n_fft // 2 * lg_fft
-    fl_per_s = butterflies / fft_time
-    log(f"FFT 2^{lg_fft}: {fft_time*1e3:.1f} ms -> {fl_per_s:.3e} butterflies/s")
+    dt = (time.time() - t0) / reps
+    rate = (n // 2 * lg) / dt
+    log(f"FFT 2^{lg}: {dt*1e3:.1f} ms -> {rate:.3e} butterflies/s")
+    return {"fft_butterflies_per_s": rate, "fft_ms": dt * 1e3,
+            "fft_log_n": lg}
 
-    # ---- MSM (headline) ----------------------------------------------------
-    lg_msm = int(os.environ.get("PLONKY_BENCH_LOG_MSM", "12"))
-    n_msm = 1 << lg_msm
+
+def phase_msm():
+    import jax
+    from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
+    from plonky_tpu.curves import msm as cmsm, ops as cops
+    from plonky_tpu.fields import ops as fops
+
+    lg = int(os.environ.get("PLONKY_BENCH_LOG_MSM", "12"))
+    window = int(os.environ.get("PLONKY_BENCH_MSM_WINDOW", "8"))
+    group = int(os.environ.get("PLONKY_BENCH_MSM_GROUP", "4"))
+    n = 1 << lg
+    rng = np.random.default_rng(0)
     g = chost.generator(curve)
-    # build points as random multiples via doubling chain (host, cheap)
+    # points as a doubling chain: pts[i] = 2^i * pts[0] (lets the oracle
+    # check collapse to ONE host scalar-mul)
     pts = []
     cur = chost.mul(g, int(rng.integers(1, 1 << 62)))
-    for _ in range(n_msm):
+    for _ in range(n):
         pts.append(cur)
         cur = chost.add(cur, cur)
     xs = fops.from_ints(curve.base, [p.x for p in pts])
     ys = fops.from_ints(curve.base, [p.y for p in pts])
-    P = cops.from_affine(curve, xs, ys,
-                         jax.numpy.asarray(np.zeros(n_msm, bool)))
-    scalars = fops.from_ints(curve.scalar, [
-        int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
-        for _ in range(n_msm)])
-    window = int(os.environ.get("PLONKY_BENCH_MSM_WINDOW", "8"))
-    msm_fn = cmsm.msm_jit(curve, window)
-
-    def run_msm():
-        """Run + force full materialization.  block_until_ready alone can
-        return early on the experimental axon backend, so sync via a host
-        readback of one output coordinate."""
-        out = msm_fn(P, scalars)
-        np.asarray(out[0])
-        return out
-
+    P = cops.from_affine(curve, xs, ys, jax.numpy.asarray(np.zeros(n, bool)))
+    scal_ints = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+                 for _ in range(n)]
+    scalars = fops.from_ints(curve.scalar, scal_ints)
+    msm_fn = jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=window,
+                                           window_group=group))
     t0 = time.time()
-    out = run_msm()
-    compile_and_first = time.time() - t0
-    log(f"MSM first call (incl. compile): {compile_and_first:.1f}s")
+    out = msm_fn(P, scalars)
+    sync(out[0])
+    log(f"MSM first call (incl. compile): {time.time() - t0:.1f}s")
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out = run_msm()
-    msm_time = (time.time() - t0) / reps
-    pts_per_s = n_msm / msm_time
-    log(f"MSM 2^{lg_msm} (w={window}): {msm_time*1e3:.1f} ms -> {pts_per_s:.3e} points/s")
+        out = msm_fn(P, scalars)
+    sync(out[0])
+    dt = (time.time() - t0) / reps
+    rate = n / dt
+    log(f"MSM 2^{lg} (w={window} g={group}): {dt*1e3:.1f} ms -> "
+        f"{rate:.3e} points/s")
 
-    # correctness spot-check vs the host oracle (catches silent garbage).
-    # The bench points form a doubling chain pts[i] = 2^i * pts[0], so
-    # sum_i s_i pts[i] = (sum_i s_i 2^i mod |G|) * pts[0] -- one host mul.
+    # correctness spot-check vs the host oracle (catches silent garbage)
     x_aff, y_aff, zero = jax.jit(lambda q: cops.to_affine(curve, q))(out)
     got = chost.AffinePoint(curve, fops.to_ints(curve.base, x_aff),
                             fops.to_ints(curve.base, y_aff))
-    scal_ints = fops.to_ints(curve.scalar, scalars)
     total = 0
     for i, s in enumerate(scal_ints):
         total = (total + (int(s) << i)) % curve.scalar.p
     expected = chost.mul(pts[0], total)
     assert not bool(np.asarray(zero)) and got == expected, "MSM result wrong!"
     log("MSM result verified against host oracle")
+    return {"msm_points_per_s": rate, "msm_ms": dt * 1e3, "msm_log_n": lg,
+            "msm_window": window, "msm_group": group}
 
-    print(json.dumps({
-        "metric": f"msm_points_per_s_2e{lg_msm}",
-        "value": pts_per_s,
-        "unit": "points/s",
-        "vs_baseline": 0.0,
-        "detail": {
-            "field_mul_per_s": mul_per_s,
-            "fft_butterflies_per_s": fl_per_s,
-            "fft_ms": fft_time * 1e3,
-            "msm_ms": msm_time * 1e3,
-        },
-    }))
+
+PHASES = {"field": phase_field, "fft": phase_fft, "msm": phase_msm}
+
+
+def run_child(phase: str) -> None:
+    import jax
+    if os.environ.get("PLONKY_BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    import plonky_tpu
+    plonky_tpu.enable_compilation_cache()
+    log("devices:", jax.devices())
+    result = PHASES[phase]()
+    print(json.dumps(result), flush=True)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
+        run_child(sys.argv[2])
+        return
+
+    detail = {}
+    timeouts = {
+        "field": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FIELD", "900")),
+        "fft": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FFT", "900")),
+        "msm": int(os.environ.get("PLONKY_BENCH_TIMEOUT_MSM", "3300")),
+    }
+    for phase in ("field", "fft", "msm"):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase],
+                stdout=subprocess.PIPE, timeout=timeouts[phase],
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+            line = proc.stdout.decode().strip().splitlines()[-1]
+            detail.update(json.loads(line))
+            detail[f"{phase}_wall_s"] = round(time.time() - t0, 1)
+        except Exception as e:  # timeout, crash, parse failure
+            log(f"phase {phase} FAILED after {time.time()-t0:.0f}s: {e!r}")
+            detail[f"{phase}_error"] = type(e).__name__
+
+    if "msm_points_per_s" in detail:
+        metric = f"msm_points_per_s_2e{detail['msm_log_n']}"
+        value = detail["msm_points_per_s"]
+        unit = "points/s"
+    elif "fft_butterflies_per_s" in detail:
+        metric = f"fft_butterflies_per_s_2e{detail['fft_log_n']}"
+        value = detail["fft_butterflies_per_s"]
+        unit = "butterflies/s"
+    else:
+        metric, value, unit = "bench_failed", 0.0, "n/a"
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": 0.0, "detail": detail}))
 
 
 if __name__ == "__main__":

@@ -134,17 +134,27 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         T = tuple(t[..., 1:] for t in T)
         return _tree_reduce(curve, T)   # [.., G]
 
+    def n_doublings(pt, k):
+        """2^k * pt via a rolled loop: each doubling is ONE instance of the
+        point-double graph in the compiled program (an unrolled chain of
+        c*G=32+ doublings made XLA/Mosaic compile times explode)."""
+        return jax.lax.fori_loop(
+            0, k, lambda _i, q: cops.double(curve, q), pt)
+
     def scan_body(carry, dig):
         # groups from most significant; within a group windows are LSW-first
         ws = group_sum(dig)
+
+        def horner_step(j, acc):
+            acc = n_doublings(acc, c)
+            idx = G - 1 - j
+            win = tuple(jax.lax.dynamic_index_in_dim(
+                t, idx, axis=t.ndim - 1, keepdims=False) for t in ws)
+            return cops.add(curve, acc, win)
+
         group_total = tuple(t[..., G - 1] for t in ws)
-        for j in range(G - 2, -1, -1):
-            for _ in range(c):
-                group_total = cops.double(curve, group_total)
-            group_total = cops.add(
-                curve, group_total, tuple(t[..., j] for t in ws))
-        for _ in range(c * G):
-            carry = cops.double(curve, carry)
+        group_total = jax.lax.fori_loop(1, G, horner_step, group_total)
+        carry = n_doublings(carry, c * G)
         carry = cops.add(curve, carry, group_total)
         return carry, None
 

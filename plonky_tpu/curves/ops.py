@@ -14,6 +14,7 @@ identity is (0, 1, 0).
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -88,6 +89,27 @@ def add(curve: CurveSpec, p1: Point, p2: Point) -> Point:
     return _add_body(curve, p1, p2)
 
 
+@functools.lru_cache(maxsize=None)
+def _fused_point_jit(curve: CurveSpec, body, n_arrays: int, D: int):
+    """A cached jax.jit wrapper around the fused point kernel.  The Pallas
+    kernel body re-traces the full formula with UNROLLED in-kernel
+    convolutions (~30k jnp ops per point add), so tracing it anew at every
+    call site made big graphs (MSM: ~60 sites) take an hour to trace and
+    compile.  Going through one cached jit per (curve, body) means pjit's
+    signature cache traces each shape ONCE and every other call site emits
+    a single call eqn referencing the same subgraph."""
+    import jax
+    from ..fields import pallas_kernels as pk
+    n_pts = n_arrays // 3
+
+    def kernel_body(ins):
+        pts = [tuple(ins[3 * k:3 * k + 3]) for k in range(n_pts)]
+        return list(body(curve, *pts))
+
+    return jax.jit(
+        lambda *flat: pk.fused_composite(kernel_body, list(flat), 3, D))
+
+
 def _fused_point_op(curve: CurveSpec, body, arrays):
     """Run a point-formula body as one fused Pallas kernel when applicable.
     arrays: the coordinate arrays (each [D, *batch], batches broadcastable).
@@ -106,13 +128,7 @@ def _fused_point_op(curve: CurveSpec, body, arrays):
     D = arrays[0].shape[0]
     flat = [jnp.broadcast_to(a, (a.shape[0], *batch)).reshape(a.shape[0], B)
             for a in arrays]
-    n_pts = len(arrays) // 3
-
-    def kernel_body(ins):
-        pts = [tuple(ins[3 * k:3 * k + 3]) for k in range(n_pts)]
-        return list(body(curve, *pts))
-
-    out = pk.fused_composite(kernel_body, flat, 3, D)
+    out = _fused_point_jit(curve, body, len(arrays), D)(*flat)
     return tuple(o.reshape(D, *batch) for o in out)
 
 

@@ -163,10 +163,18 @@ def conv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if pk.pallas_conv_applicable(B):
             out = pk.conv_pallas(a.reshape(La, B), b.reshape(Lb, B))
             return out.reshape(La + Lb - 1, *batch)
-        # Small/misaligned batches: still avoid int32 multiplies (emulated
-        # on the TPU VPU) -- unrolled f32 shift-add, exact under the same
-        # F32_EXACT bound the callers enforce on TPU.
-        return pk.conv_f32_unrolled(a, b)
+        # Small/misaligned batches: ONE grouped f32 conv primitive.  f32
+        # keeps the multiplies off the emulated int32 VPU path and is exact
+        # under the same F32_EXACT bound the callers enforce on TPU;
+        # HIGHEST precision forbids a bf16 rewrite.  (An unrolled shift-add
+        # here inlined ~2e3 ops PER FIELD MULTIPLY into the traced graph --
+        # big programs like the MSM took an hour to trace+lower.)
+        lhs = a.reshape(La, B).T[None].astype(jnp.float32)
+        rhs = b.reshape(Lb, B).T[:, None, ::-1].astype(jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1,), padding=[(Lb - 1, Lb - 1)],
+            feature_group_count=B, precision=jax.lax.Precision.HIGHEST)
+        return out[0].T.reshape(La + Lb - 1, *batch).astype(jnp.int32)
     lhs = a.reshape(La, B).T[None]             # [1, B, La]
     rhs = b.reshape(Lb, B).T[:, None, ::-1]    # [B, 1, Lb] (flip: conv, not corr)
     out = jax.lax.conv_general_dilated(

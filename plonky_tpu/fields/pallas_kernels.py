@@ -26,10 +26,20 @@ F32_EXACT = 1 << 24
 
 _LANE = 128
 
+# Minimum flat batch for the Pallas paths.  Each DISTINCT kernel shape pays
+# a client-side kernel trace (the in-kernel convolutions are unrolled,
+# ~30k jnp ops per point formula) plus a Mosaic compile, so structures
+# with many shrinking shapes (scan levels) should fall back to the compact
+# XLA grouped-conv path once the batch is small -- by then it carries
+# little of the work anyway.
+import os as _os
+
+_FUSION_MIN = int(_os.environ.get("PLONKY_FUSION_MIN_BATCH", "2048"))
+
 
 def pallas_conv_applicable(batch_elems: int) -> bool:
     """The f32 kernel path needs a lane-aligned, reasonably large batch."""
-    return batch_elems >= 512 and batch_elems % _LANE == 0
+    return batch_elems >= _FUSION_MIN and batch_elems % _LANE == 0
 
 
 @functools.lru_cache(maxsize=None)
@@ -224,7 +234,7 @@ def fused_composite(body, inputs, n_outs: int, out_len: int,
 
 
 def fusion_applicable(batch_elems: int) -> bool:
-    return (not _IN_KERNEL[0] and batch_elems >= 512
+    return (not _IN_KERNEL[0] and batch_elems >= _FUSION_MIN
             and batch_elems % _LANE == 0)
 
 
