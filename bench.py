@@ -159,12 +159,14 @@ def main():
         return
 
     detail = {}
+    # axon compile times are high-variance (the same field-mul graph has
+    # compiled in 3s, 270s and >900s in one day), so deadlines are generous
     timeouts = {
-        "field": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FIELD", "900")),
-        "fft": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FFT", "900")),
-        "msm": int(os.environ.get("PLONKY_BENCH_TIMEOUT_MSM", "3300")),
+        "field": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FIELD", "1800")),
+        "fft": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FFT", "1800")),
+        "msm": int(os.environ.get("PLONKY_BENCH_TIMEOUT_MSM", "3600")),
     }
-    for phase in ("field", "fft", "msm"):
+    def run_phase(phase):
         t0 = time.time()
         try:
             proc = subprocess.run(
@@ -174,9 +176,22 @@ def main():
             line = proc.stdout.decode().strip().splitlines()[-1]
             detail.update(json.loads(line))
             detail[f"{phase}_wall_s"] = round(time.time() - t0, 1)
+            detail.pop(f"{phase}_error", None)
+            return True
         except Exception as e:  # timeout, crash, parse failure
             log(f"phase {phase} FAILED after {time.time()-t0:.0f}s: {e!r}")
             detail[f"{phase}_error"] = type(e).__name__
+            return False
+
+    # headline (msm) first: if the backend degrades mid-run, the most
+    # important number is already recorded
+    failed = [p for p in ("msm", "fft", "field") if not run_phase(p)]
+    # one retry pass: a transient backend slowdown may have lifted, and a
+    # server-side compile finished after the first attempt timed out can
+    # be picked up from its cache
+    for phase in failed:
+        log(f"retrying phase {phase}")
+        run_phase(phase)
 
     if "msm_points_per_s" in detail:
         metric = f"msm_points_per_s_2e{detail['msm_log_n']}"

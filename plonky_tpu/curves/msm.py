@@ -39,24 +39,110 @@ def scalar_window_digits(spec, scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 def _segmented_add_scan(curve: CurveSpec, pts: cops.Point, first_flags: jnp.ndarray):
-    """Inclusive segmented scan along the batch axis with point addition.
+    """Inclusive segmented scan along the last axis with point addition.
 
     first_flags[i] = 1 iff element i starts a new segment.  Returns the
     running per-segment sums (value at the last index of a segment is that
     segment's total).
     """
+    # All scan-pytree leaves must share the scan axis: lift flags to [1, ..].
+    out, _ = _seg_scan_pair(curve, pts, first_flags[None])
+    return out
+
+
+# Chunked-scan shape policy (module constants so tests can shrink them):
+# fall back to associative_scan below _CHUNK_MIN_TOTAL flat elements, keep
+# per-step batches >= _CHUNK_MIN_BATCH, sequential depth <= _CHUNK_MAX_DEPTH.
+_CHUNK_MIN_TOTAL = 4096
+_CHUNK_MIN_BATCH = 1024
+_CHUNK_MAX_DEPTH = 64
+
+
+def _seg_combine(curve: CurveSpec):
     def combine(a, b):
         pa, fa = a
         pb, fb = b
         merged = cops.add(curve, pa, pb)
         out = cops.select(fb[0].astype(bool), pb, merged)
         return out, fa | fb
+    return combine
 
-    # All scan-pytree leaves must share the scan axis: lift flags to [1, N].
-    flags2d = first_flags[None, :]
-    (X, Y, Z), _ = jax.lax.associative_scan(
-        combine, (pts, flags2d), axis=pts[0].ndim - 1)
-    return (X, Y, Z)
+
+def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
+    """Inclusive segmented scan of (point, first-flag) pairs, chunked.
+
+    `jax.lax.associative_scan` is work-efficient but instantiates the
+    point-add combiner at ~2*log2(N) DISTINCT shrinking shapes -- each a
+    separate fused-kernel trace and Mosaic compile, which dominated MSM
+    build times.  Here the axis is split into C contiguous chunks of W:
+
+      1. a lax.scan over the W within-chunk positions (body traced ONCE,
+         one fixed kernel shape [.., C]) yields per-chunk inclusive scans
+         and chunk totals,
+      2. the C chunk totals are scanned recursively (base case: the
+         associative form at sizes small enough for the compact XLA path),
+      3. one full-width combine folds each chunk's exclusive prefix into
+         its elements -- valid because the segmented-scan operator is
+         associative, with flags deciding whether the prefix crosses a
+         segment boundary.
+
+    Work is ~2N combines (same as the associative form) in ~3 kernel
+    shapes regardless of N, with sequential depth W <= 64.
+    """
+    from ..fields import pallas_kernels as pk
+
+    combine = _seg_combine(curve)
+    N = pts[0].shape[-1]
+    lead = pts[0].shape[1:-1]
+    total = N
+    for d in lead:
+        total *= d
+    if total < _CHUNK_MIN_TOTAL or N < 4:
+        out, fl = jax.lax.associative_scan(
+            combine, (pts, flags), axis=pts[0].ndim - 1)
+        return out, fl
+
+    W = 1
+    while (W < _CHUNK_MAX_DEPTH and N % (W * 2) == 0
+           and total // (W * 2) >= _CHUNK_MIN_BATCH):
+        W *= 2
+    C = N // W
+
+    def to_scan(x):  # [.., N] -> [W, .., C]
+        x = x.reshape(*x.shape[:-1], C, W)
+        return jnp.moveaxis(x, -1, 0)
+
+    def from_scan(x):  # [W, .., C] -> [.., C, W]
+        return jnp.moveaxis(x, 0, -1)
+
+    xs = (tuple(to_scan(t) for t in pts), to_scan(flags))
+    ident = cops.identity(curve, (*lead, C))
+    init = (ident, jnp.zeros((1, *lead, C), flags.dtype))
+
+    def step(state, x):
+        with pk.force_fusion(512):
+            new = combine(state, x)
+        return new, new
+
+    (tail_pts, tail_flags), (ys_pts, ys_flags) = jax.lax.scan(step, init, xs)
+
+    # chunk-level inclusive scan of the totals, then shift to exclusive
+    rec_pts, rec_flags = _seg_scan_pair(curve, tail_pts, tail_flags)
+    ident1 = cops.identity(curve, (*lead, 1))
+    excl_pts = tuple(jnp.concatenate([i1, t[..., :-1]], axis=-1)
+                     for i1, t in zip(ident1, rec_pts))
+    excl_flags = jnp.concatenate(
+        [jnp.zeros((1, *lead, 1), flags.dtype), rec_flags[..., :-1]], axis=-1)
+
+    incl_pts = tuple(from_scan(t) for t in ys_pts)     # [.., C, W]
+    incl_flags = from_scan(ys_flags)
+    with pk.force_fusion(512):
+        out_pts, out_flags = combine(
+            (tuple(t[..., None] for t in excl_pts), excl_flags[..., None]),
+            (incl_pts, incl_flags))
+    out_pts = tuple(t.reshape(*t.shape[:-2], N) for t in out_pts)
+    out_flags = out_flags.reshape(*out_flags.shape[:-2], N)
+    return out_pts, out_flags
 
 
 def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:

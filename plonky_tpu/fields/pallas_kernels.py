@@ -233,8 +233,30 @@ def fused_composite(body, inputs, n_outs: int, out_len: int,
     return tuple(res)
 
 
+_FUSION_MIN_OVERRIDE = [None]
+
+
+class force_fusion:
+    """Context manager lowering the fusion threshold locally.  Use around
+    a structure whose kernel shape is FIXED across many applications (e.g.
+    the body of a sequential scan, traced once): the threshold exists to
+    bound the number of distinct kernel traces/Mosaic compiles, which such
+    a structure doesn't multiply."""
+
+    def __init__(self, min_batch: int):
+        self.min_batch = min_batch
+
+    def __enter__(self):
+        self.saved = _FUSION_MIN_OVERRIDE[0]
+        _FUSION_MIN_OVERRIDE[0] = self.min_batch
+
+    def __exit__(self, *exc):
+        _FUSION_MIN_OVERRIDE[0] = self.saved
+
+
 def fusion_applicable(batch_elems: int) -> bool:
-    return (not _IN_KERNEL[0] and batch_elems >= _FUSION_MIN
+    min_b = _FUSION_MIN_OVERRIDE[0] or _FUSION_MIN
+    return (not _IN_KERNEL[0] and batch_elems >= min_b
             and batch_elems % _LANE == 0)
 
 

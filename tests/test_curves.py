@@ -123,3 +123,46 @@ def test_halo_n_mul_identity():
         bits = scalar_to_bits_le(s, 128)
         n_s = halo_n(curve, bits)
         assert halo_n_mul(curve, bits, pt) == chost.mul(pt, n_s), hex(s)
+
+
+def test_chunked_segmented_scan_matches_associative(monkeypatch):
+    """The chunked segmented scan (one fixed kernel shape, built for
+    bounded compile times) must agree with the associative_scan reference
+    re-association for real points -- checked in affine coordinates since
+    the two association orders produce different (equivalent) Z scalings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
+    from plonky_tpu.curves import msm as cmsm, ops as cops
+    from plonky_tpu.fields import ops as fops
+
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_TOTAL", 16)
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_BATCH", 8)
+
+    rng = np.random.default_rng(11)
+    N = 64
+    g = chost.generator(curve)
+    pts_h = []
+    cur = chost.mul(g, 7)
+    for _ in range(N):
+        pts_h.append(cur)
+        cur = chost.add(cur, chost.add(cur, g))
+    xs = fops.from_ints(curve.base, [p.x for p in pts_h])
+    ys = fops.from_ints(curve.base, [p.y for p in pts_h])
+    P = cops.from_affine(curve, xs, ys, jnp.asarray(np.zeros(N, bool)))
+    flags = jnp.asarray((rng.random(N) < 0.15).astype(np.int32)).at[0].set(1)
+
+    chunked = jax.jit(
+        lambda P_, f: cmsm._segmented_add_scan(curve, P_, f))(P, flags)
+    ref = jax.jit(lambda P_, f: jax.lax.associative_scan(
+        cmsm._seg_combine(curve), (P_, f[None]), axis=1)[0])(P, flags)
+
+    xa, ya, za = jax.jit(lambda q: cops.to_affine(curve, q))(chunked)
+    xb, yb, zb = jax.jit(lambda q: cops.to_affine(curve, q))(ref)
+    assert np.array_equal(np.asarray(za), np.asarray(zb))
+    assert list(fops.to_ints(curve.base, xa)) == \
+        list(fops.to_ints(curve.base, xb))
+    assert list(fops.to_ints(curve.base, ya)) == \
+        list(fops.to_ints(curve.base, yb))
