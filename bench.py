@@ -1,23 +1,43 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: MSM points/s on the real chip (the prover's dominant kernel;
-BASELINE.md driver target), falling back to FFT butterflies/s if the MSM
-phase cannot finish.  Each phase runs in its own SUBPROCESS with a
-deadline: axon TPU executables are not persistently cached, so every run
-repays XLA/Mosaic compiles, and a pathologically slow compile must not
-prevent the harness from reporting the phases that did finish.
+Headline: MSM points/s on the real chip at the largest size that finished
+(the prover's dominant kernel; BASELINE.md driver target), plus FFT
+butterflies/s and raw field-mul throughput.
 
-Sizes are modest by default so a cold run (compile included) stays bounded;
-override with PLONKY_BENCH_LOG_{MUL,FFT,MSM} and PLONKY_BENCH_TIMEOUT_*.
+Deadline-proof by construction:
+
+* ONE global budget (PLONKY_BENCH_BUDGET, default 1500 s).  Every phase
+  child gets a slice of the *remaining* budget, never a fixed generous
+  timeout, so the harness finishes well inside the driver's window.
+* Each phase runs in a SUBPROCESS that escalates sizes (2^12 -> 2^22 ...)
+  and appends a JSON record to a results FILE after EVERY size that
+  completes.  A child killed mid-compile loses only the size it was on.
+* The parent prints the cumulative headline JSON line after every child
+  (and at the end), so the last stdout line is always parseable even if
+  the harness itself is killed.
+
+Axon TPU executables are not persistently cached, so every run repays
+XLA/Mosaic compiles; sizes escalate small-first so a number is on the
+board within minutes.  Reference workloads:
+/root/reference/benches/bls12_g1_summations.rs:8-31 (MSM 2^16-2^22),
+/root/reference/benches/fft.rs:10-40 (FFT).
 """
 
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+START = time.time()
+BUDGET = float(os.environ.get("PLONKY_BENCH_BUDGET", "1500"))
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - START)
 
 
 def log(*a):
@@ -34,165 +54,168 @@ def sync(arr):
     np.asarray(small)
 
 
+def emit(path: str, record: dict):
+    """Append one JSON record to the results file (child side)."""
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
 # ---------------------------------------------------------------------------
-# Phases (each runs in a child process and prints one JSON line to stdout)
+# Phase children.  Each escalates over sizes, records after every size, and
+# respects PLONKY_BENCH_CHILD_DEADLINE (absolute unix time) between sizes.
 # ---------------------------------------------------------------------------
 
-def phase_field():
+def child_deadline() -> float:
+    return float(os.environ.get("PLONKY_BENCH_CHILD_DEADLINE", "1e18"))
+
+
+def phase_field(out_path: str, sizes):
     import jax
     from plonky_tpu.fields import TWEEDLEDEE_BASE as F, ops as fops
 
-    lg = int(os.environ.get("PLONKY_BENCH_LOG_MUL", "18"))
-    n = 1 << lg
     rng = np.random.default_rng(0)
-    a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
-    b = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
     mulf = fops.jitted('mul', F)
-    sync(mulf(a, b))
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        r = mulf(a, b)
-    sync(r)
-    rate = reps * n / (time.time() - t0)
-    log(f"field mul: {rate:.3e} muls/s (batch 2^{lg})")
-    return {"field_mul_per_s": rate, "field_mul_log_batch": lg}
+    for lg in sizes:
+        if time.time() > child_deadline():
+            return
+        n = 1 << lg
+        a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
+        b = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
+        sync(mulf(a, b))
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            r = mulf(a, b)
+        sync(r)
+        rate = reps * n / (time.time() - t0)
+        log(f"field mul 2^{lg}: {rate:.3e} muls/s")
+        emit(out_path, {"field_mul_per_s": rate, "field_mul_log_batch": lg})
 
 
-def phase_fft():
+def phase_fft(out_path: str, sizes):
     import jax
     from plonky_tpu.fields import TWEEDLEDEE_BASE as F
     from plonky_tpu.poly.fft import FftPrecomputation, fft
 
-    lg = int(os.environ.get("PLONKY_BENCH_LOG_FFT", "14"))
-    n = 1 << lg
     rng = np.random.default_rng(0)
-    pre = FftPrecomputation(F, n)
-    coeffs = jax.numpy.asarray(
-        rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
-    ff = jax.jit(lambda c: fft(pre, c))
-    sync(ff(coeffs))
-    t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        r = ff(coeffs)
-    sync(r)
-    dt = (time.time() - t0) / reps
-    rate = (n // 2 * lg) / dt
-    log(f"FFT 2^{lg}: {dt*1e3:.1f} ms -> {rate:.3e} butterflies/s")
-    return {"fft_butterflies_per_s": rate, "fft_ms": dt * 1e3,
-            "fft_log_n": lg}
+    for lg in sizes:
+        if time.time() > child_deadline():
+            return
+        n = 1 << lg
+        pre = FftPrecomputation(F, n)
+        coeffs = jax.numpy.asarray(
+            rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
+        ff = jax.jit(lambda c, pre=pre: fft(pre, c))
+        t0 = time.time()
+        sync(ff(coeffs))
+        log(f"FFT 2^{lg} first call (incl. compile): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        reps = 5
+        for _ in range(reps):
+            r = ff(coeffs)
+        sync(r)
+        dt = (time.time() - t0) / reps
+        rate = (n // 2 * lg) / dt
+        log(f"FFT 2^{lg}: {dt*1e3:.1f} ms -> {rate:.3e} butterflies/s")
+        emit(out_path, {"fft_butterflies_per_s": rate, "fft_ms": dt * 1e3,
+                        "fft_log_n": lg})
 
 
-def phase_msm():
+def _bench_points(curve, n: int):
+    """n projective points + scalars with a cheap host oracle.
+
+    Points follow a doubling chain of period CHAIN (pts[i] = 2^(i%CHAIN)*P0),
+    so the oracle check collapses to ONE host scalar-mul however large n is.
+    """
+    import jax
+    from plonky_tpu.curves import host as chost, ops as cops
+    from plonky_tpu.fields import ops as fops
+
+    rng = np.random.default_rng(0)
+    chain = min(n, 1 << 12)
+    g = chost.generator(curve)
+    p0 = chost.mul(g, int(rng.integers(1, 1 << 62)))
+    pts, cur = [], p0
+    for _ in range(chain):
+        pts.append(cur)
+        cur = chost.add(cur, cur)
+    reps = n // chain
+    xs_np = np.stack([curve.base.to_digits(p.x) for p in pts], axis=-1)
+    ys_np = np.stack([curve.base.to_digits(p.y) for p in pts], axis=-1)
+    xs = jax.numpy.asarray(np.tile(xs_np, (1, reps)))
+    ys = jax.numpy.asarray(np.tile(ys_np, (1, reps)))
+    P = cops.from_affine(curve, xs, ys, jax.numpy.asarray(np.zeros(n, bool)))
+    scal_ints = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+                 for _ in range(n)]
+    scalars = fops.from_ints(curve.scalar, scal_ints)
+    total = 0
+    for i, s in enumerate(scal_ints):
+        total = (total + (s << (i % chain))) % curve.scalar.p
+    expected = chost.mul(p0, total)
+    return P, scalars, expected
+
+
+def phase_msm(out_path: str, sizes):
     import jax
     from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
     from plonky_tpu.curves import msm as cmsm, ops as cops
     from plonky_tpu.fields import ops as fops
 
-    lg = int(os.environ.get("PLONKY_BENCH_LOG_MSM", "12"))
     window = int(os.environ.get("PLONKY_BENCH_MSM_WINDOW", "8"))
     group = int(os.environ.get("PLONKY_BENCH_MSM_GROUP", "4"))
-    n = 1 << lg
-    rng = np.random.default_rng(0)
-    g = chost.generator(curve)
-    # points as a doubling chain: pts[i] = 2^i * pts[0] (lets the oracle
-    # check collapse to ONE host scalar-mul)
-    pts = []
-    cur = chost.mul(g, int(rng.integers(1, 1 << 62)))
-    for _ in range(n):
-        pts.append(cur)
-        cur = chost.add(cur, cur)
-    xs = fops.from_ints(curve.base, [p.x for p in pts])
-    ys = fops.from_ints(curve.base, [p.y for p in pts])
-    P = cops.from_affine(curve, xs, ys, jax.numpy.asarray(np.zeros(n, bool)))
-    scal_ints = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
-                 for _ in range(n)]
-    scalars = fops.from_ints(curve.scalar, scal_ints)
     msm_fn = jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=window,
                                            window_group=group))
-    t0 = time.time()
-    out = msm_fn(P, scalars)
-    sync(out[0])
-    log(f"MSM first call (incl. compile): {time.time() - t0:.1f}s")
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
+    for lg in sizes:
+        if time.time() > child_deadline():
+            return
+        n = 1 << lg
+        P, scalars, expected = _bench_points(curve, n)
+        t0 = time.time()
         out = msm_fn(P, scalars)
-    sync(out[0])
-    dt = (time.time() - t0) / reps
-    rate = n / dt
-    log(f"MSM 2^{lg} (w={window} g={group}): {dt*1e3:.1f} ms -> "
-        f"{rate:.3e} points/s")
-
-    # correctness spot-check vs the host oracle (catches silent garbage)
-    x_aff, y_aff, zero = jax.jit(lambda q: cops.to_affine(curve, q))(out)
-    got = chost.AffinePoint(curve, fops.to_ints(curve.base, x_aff),
-                            fops.to_ints(curve.base, y_aff))
-    total = 0
-    for i, s in enumerate(scal_ints):
-        total = (total + (int(s) << i)) % curve.scalar.p
-    expected = chost.mul(pts[0], total)
-    assert not bool(np.asarray(zero)) and got == expected, "MSM result wrong!"
-    log("MSM result verified against host oracle")
-    return {"msm_points_per_s": rate, "msm_ms": dt * 1e3, "msm_log_n": lg,
-            "msm_window": window, "msm_group": group}
+        sync(out[0])
+        compile_s = time.time() - t0
+        log(f"MSM 2^{lg} first call (incl. compile): {compile_s:.1f}s")
+        t0 = time.time()
+        reps = 3 if lg <= 18 else 1
+        for _ in range(reps):
+            out = msm_fn(P, scalars)
+        sync(out[0])
+        dt = (time.time() - t0) / reps
+        rate = n / dt
+        log(f"MSM 2^{lg} (w={window} g={group}): {dt*1e3:.1f} ms -> "
+            f"{rate:.3e} points/s")
+        # correctness spot-check vs the host oracle (catches silent garbage)
+        x_aff, y_aff, zero = jax.jit(lambda q: cops.to_affine(curve, q))(out)
+        got = chost.AffinePoint(curve, fops.to_ints(curve.base, x_aff),
+                                fops.to_ints(curve.base, y_aff))
+        assert not bool(np.asarray(zero)) and got == expected, \
+            f"MSM 2^{lg} result wrong!"
+        log("MSM result verified against host oracle")
+        emit(out_path, {"msm_points_per_s": rate, "msm_ms": dt * 1e3,
+                        "msm_log_n": lg, "msm_window": window,
+                        "msm_group": group, "msm_compile_s": compile_s})
 
 
 PHASES = {"field": phase_field, "fft": phase_fft, "msm": phase_msm}
 
 
-def run_child(phase: str) -> None:
+def run_child(phase: str, out_path: str, sizes) -> None:
     import jax
     if os.environ.get("PLONKY_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     import plonky_tpu
     plonky_tpu.enable_compilation_cache()
     log("devices:", jax.devices())
-    result = PHASES[phase]()
-    print(json.dumps(result), flush=True)
+    PHASES[phase](out_path, sizes)
 
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
-        run_child(sys.argv[2])
-        return
+# ---------------------------------------------------------------------------
+# Parent
+# ---------------------------------------------------------------------------
 
-    detail = {}
-    # axon compile times are high-variance (the same field-mul graph has
-    # compiled in 3s, 270s and >900s in one day), so deadlines are generous
-    timeouts = {
-        "field": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FIELD", "1800")),
-        "fft": int(os.environ.get("PLONKY_BENCH_TIMEOUT_FFT", "1800")),
-        "msm": int(os.environ.get("PLONKY_BENCH_TIMEOUT_MSM", "3600")),
-    }
-    def run_phase(phase):
-        t0 = time.time()
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", phase],
-                stdout=subprocess.PIPE, timeout=timeouts[phase],
-                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-            line = proc.stdout.decode().strip().splitlines()[-1]
-            detail.update(json.loads(line))
-            detail[f"{phase}_wall_s"] = round(time.time() - t0, 1)
-            detail.pop(f"{phase}_error", None)
-            return True
-        except Exception as e:  # timeout, crash, parse failure
-            log(f"phase {phase} FAILED after {time.time()-t0:.0f}s: {e!r}")
-            detail[f"{phase}_error"] = type(e).__name__
-            return False
-
-    # headline (msm) first: if the backend degrades mid-run, the most
-    # important number is already recorded
-    failed = [p for p in ("msm", "fft", "field") if not run_phase(p)]
-    # one retry pass: a transient backend slowdown may have lifted, and a
-    # server-side compile finished after the first attempt timed out can
-    # be picked up from its cache
-    for phase in failed:
-        log(f"retrying phase {phase}")
-        run_phase(phase)
-
+def _headline(detail: dict) -> dict:
     if "msm_points_per_s" in detail:
         metric = f"msm_points_per_s_2e{detail['msm_log_n']}"
         value = detail["msm_points_per_s"]
@@ -201,10 +224,66 @@ def main():
         metric = f"fft_butterflies_per_s_2e{detail['fft_log_n']}"
         value = detail["fft_butterflies_per_s"]
         unit = "butterflies/s"
+    elif "field_mul_per_s" in detail:
+        metric = f"field_mul_per_s_2e{detail['field_mul_log_batch']}"
+        value = detail["field_mul_per_s"]
+        unit = "muls/s"
     else:
         metric, value, unit = "bench_failed", 0.0, "n/a"
-    print(json.dumps({"metric": metric, "value": value, "unit": unit,
-                      "vs_baseline": 0.0, "detail": detail}))
+    return {"metric": metric, "value": value, "unit": unit,
+            "vs_baseline": 0.0, "detail": dict(detail)}
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
+        run_child(sys.argv[2], sys.argv[3],
+                  [int(s) for s in sys.argv[4].split(",")])
+        return
+
+    detail = {}
+    sizes = {
+        "msm": os.environ.get("PLONKY_BENCH_MSM_SIZES", "12,14,16,18,20,22"),
+        "fft": os.environ.get("PLONKY_BENCH_FFT_SIZES", "14,16,18,20"),
+        "field": os.environ.get("PLONKY_BENCH_FIELD_SIZES", "18,20"),
+    }
+    # Budget shares of the REMAINING time when the phase starts; msm first
+    # (headline + worst compiles), a floor keeps later phases viable.
+    shares = {"msm": 0.62, "fft": 0.55, "field": 0.9}
+
+    def run_phase(phase):
+        rem = remaining()
+        if rem < 60:
+            log(f"skipping phase {phase}: {rem:.0f}s left")
+            return
+        slice_s = max(60.0, rem * shares[phase])
+        out_path = tempfile.mktemp(prefix=f"bench_{phase}_", suffix=".jsonl")
+        env = dict(os.environ)
+        env["PLONKY_BENCH_CHILD_DEADLINE"] = str(time.time() + slice_s - 30)
+        t0 = time.time()
+        try:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", phase,
+                 out_path, sizes[phase]],
+                timeout=slice_s, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+        except subprocess.TimeoutExpired:
+            log(f"phase {phase} hit its {slice_s:.0f}s slice")
+        except Exception as e:
+            log(f"phase {phase} FAILED after {time.time()-t0:.0f}s: {e!r}")
+        try:
+            with open(out_path) as f:
+                for line in f:
+                    detail.update(json.loads(line))
+        except FileNotFoundError:
+            detail[f"{phase}_error"] = "no results"
+        detail[f"{phase}_wall_s"] = round(time.time() - t0, 1)
+        # cumulative headline after every phase: the last stdout line is
+        # always the best result so far even if the parent is killed later
+        print(json.dumps(_headline(detail)), flush=True)
+
+    for phase in ("msm", "fft", "field"):
+        run_phase(phase)
+    print(json.dumps(_headline(detail)), flush=True)
 
 
 if __name__ == "__main__":

@@ -46,17 +46,27 @@ def main():
     print(f"devices available: {n_dev_avail}; MSM size 2^{args.log_n}, "
           f"window {args.window}", flush=True)
 
-    # Random projective points (pseudo, not on-curve -- throughput only,
-    # mirroring the reference's random-scalar harness) and scalars.
-    xs = jax.numpy.asarray(
-        rng.integers(0, 256, (curve.base.n_digits, n), dtype=np.int32))
-    ys = jax.numpy.asarray(
-        rng.integers(0, 256, (curve.base.n_digits, n), dtype=np.int32))
-    zs = fops.constant(curve.base, 1, (n,))
-    P = (xs, ys, zs)
-    scalars = jax.numpy.asarray(
-        rng.integers(0, 256, (curve.scalar.n_digits, n), dtype=np.int32))
+    # Valid curve points via a tiled doubling chain (cheap to build at any
+    # n) and random canonical scalars.
+    from plonky_tpu.curves import host as chost
+    chain = min(n, 1 << 10)
+    g = chost.generator(curve)
+    cur = chost.mul(g, int(rng.integers(1, 1 << 62)))
+    pts = []
+    for _ in range(chain):
+        pts.append(cur)
+        cur = chost.add(cur, cur)
+    xs_np = np.stack([curve.base.to_digits(p.x) for p in pts], axis=-1)
+    ys_np = np.stack([curve.base.to_digits(p.y) for p in pts], axis=-1)
+    reps_t = n // chain
+    xs = jax.numpy.asarray(np.tile(xs_np, (1, reps_t)))
+    ys = jax.numpy.asarray(np.tile(ys_np, (1, reps_t)))
+    P = cops.from_affine(curve, xs, ys, jax.numpy.asarray(np.zeros(n, bool)))
+    scalars = fops.from_ints(curve.scalar, [
+        int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+        for _ in range(n)])
 
+    results = {}
     base_rate = None
     for nd in sweep:
         if nd == 1:
@@ -77,8 +87,21 @@ def main():
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * nd / sweep[0])
+        results[nd] = out
         print(f"  mesh={nd:3d}: {dt*1e3:9.2f} ms  {rate:.3e} points/s  "
               f"weak-scaling efficiency {eff*100:5.1f}%", flush=True)
+
+    # cross-check: every mesh size produced the same group element
+    affs = {nd: jax.jit(lambda q: cops.to_affine(curve, q))(out)
+            for nd, out in results.items()}
+    base = None
+    for nd, (x, y, z) in sorted(affs.items()):
+        got = (fops.to_ints(curve.base, x), fops.to_ints(curve.base, y),
+               bool(np.asarray(z)))
+        if base is None:
+            base = got
+        assert got == base, f"mesh={nd} result differs from mesh={sweep[0]}"
+    print("all mesh sizes agree on the MSM result", flush=True)
 
 
 if __name__ == "__main__":

@@ -7,6 +7,8 @@ are host-side (small, data-dependent)."""
 
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import List, Tuple
 
@@ -19,7 +21,7 @@ from ..fields import host as fhost
 from ..fields import ops as fops
 from ..hashing.challenger import Challenger
 from ..hashing.hash_to_curve import blake_hash_usize_to_curve
-from ..poly.fft import FftPrecomputation, fft, ifft
+from ..poly.fft import FftPrecomputation, fft, ifft, powers_dyn
 from ..poly.polynomial import divide_by_z_h
 from ..protocol import halo as halo_mod
 from ..protocol.circuit import CommitmentEngine, ints_to_device_matrix
@@ -112,7 +114,8 @@ def prove(curve: CurveSpec, f: List[int], t: List[int]) -> PlookupProof:
 
     f_padded = padded(f, n + 1)
     polys_vals = ints_to_device_matrix(sf, [f_padded, t, s[:n + 1], s[n:]])
-    polys = jax.jit(lambda v: ifft(pre, v))(polys_vals)  # [D, 4, n+1]
+    from ..utils import cached_jit
+    polys = cached_jit(ifft, pre)(polys_vals)  # [D, 4, n+1]
 
     gs = [blake_hash_usize_to_curve(curve, i) for i in range(2 * n + 2)]
     h = blake_hash_usize_to_curve(curve, 2 * n + 2)
@@ -133,7 +136,7 @@ def prove(curve: CurveSpec, f: List[int], t: List[int]) -> PlookupProof:
     gamma = try_convert(gamma_bf, sf)
 
     z_values = grand_polynomial(p, f, t, s, beta, gamma)
-    z_poly = jax.jit(lambda v: ifft(pre, v))(
+    z_poly = cached_jit(ifft, pre)(
         ints_to_device_matrix(sf, [z_values]))[:, 0]
     c_z = engine_small.commit_many(z_poly[:, None], True, rand)[0]
 
@@ -141,7 +144,8 @@ def prove(curve: CurveSpec, f: List[int], t: List[int]) -> PlookupProof:
     alpha = try_convert(challenger.get_challenge(), sf)
 
     vanishing = _vanishing_polynomial(sf, polys, z_poly, beta, gamma, alpha, n)
-    quotient = jax.jit(lambda c: divide_by_z_h(sf, c, n + 1))(vanishing)
+    from ..protocol.prover import _div_zh
+    quotient = cached_jit(_div_zh, sf, n + 1)(vanishing)
     quotient = quotient[:, :2 * n + 2]
     c_quotient = engine_big.commit_many(quotient[:, None], True, rand)[0]
 
@@ -180,84 +184,94 @@ def prove(curve: CurveSpec, f: List[int], t: List[int]) -> PlookupProof:
         halo_proof=halo_proof, n=n)
 
 
-def _vanishing_polynomial(sf, polys, z_poly, beta, gamma, alpha, n):
-    """Evaluate the Plookup vanishing identity on the 4(n+1) domain
-    (reference: plookup.rs:205-271)."""
+@functools.lru_cache(maxsize=None)
+def _vanishing_consts(sf, n: int):
+    """Per-(field, size) host constants of the 4(n+1) vanishing domain."""
     p = sf.p
     order = 4 * (n + 1)
-    pre4 = FftPrecomputation(sf, order)
     g4 = fhost.primitive_root_of_unity(sf, log2_strict(order))
     gen = pow(g4, 4, p)  # generator of the (n+1) subgroup
-    beta1 = (beta + 1) % p
-    gamma_beta1 = gamma * beta1 % p
-
-    # host-precomputed L_0, L_n values and (x - g^n) over the 4(n+1) domain
     sub4 = fhost.cyclic_subgroup_known_order(sf, g4, order)
     l0 = [eval_l_i(sf, n + 1, 0, gen, x) for x in sub4]
     ln = [eval_l_i(sf, n + 1, n, gen, x) for x in sub4]
     gn = pow(gen, n, p)
     x_m_gn = [(x - gn) % p for x in sub4]
+    return (ints_to_device_matrix(sf, [l0])[:, 0],
+            ints_to_device_matrix(sf, [ln])[:, 0],
+            ints_to_device_matrix(sf, [x_m_gn])[:, 0])
 
-    def compute(polys_, z_):
-        def lde(q):
-            pad = [(0, 0)] * (q.ndim - 1) + [(0, order - q.shape[-1])]
-            return fft(pre4, jnp.pad(q, pad))
-        f4 = lde(polys_[:, 0:1])[:, 0]
-        t4 = lde(polys_[:, 1:2])[:, 0]
-        h14 = lde(polys_[:, 2:3])[:, 0]
-        h24 = lde(polys_[:, 3:4])[:, 0]
-        z4 = lde(z_[:, None])[:, 0]
 
-        def sh(a):  # shift by one subgroup step (4 on this domain)
-            return jnp.roll(a, -4, axis=-1)
+def _vanishing_body(sf, n, polys_, z_, l0_d, ln_d, xg_d,
+                    beta_col, gamma_col, alpha_col):
+    order = 4 * (n + 1)
+    pre4 = FftPrecomputation(sf, order)
 
-        one = fops.constant(sf, 1, (order,))
-        gamma_d = fops.constant(sf, gamma, (order,))
-        gb1_d = fops.constant(sf, gamma_beta1, (order,))
-        l0_d = ints_to_device_matrix(sf, [l0])[:, 0]
-        ln_d = ints_to_device_matrix(sf, [ln])[:, 0]
-        xg_d = ints_to_device_matrix(sf, [x_m_gn])[:, 0]
+    def lde(q):
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, order - q.shape[-1])]
+        return fft(pre4, jnp.pad(q, pad))
+    f4 = lde(polys_[:, 0:1])[:, 0]
+    t4 = lde(polys_[:, 1:2])[:, 0]
+    h14 = lde(polys_[:, 2:3])[:, 0]
+    h24 = lde(polys_[:, 3:4])[:, 0]
+    z4 = lde(z_[:, None])[:, 0]
 
-        def addc(a, b):
-            return fops.add(sf, a, b)
+    def sh(a):  # shift by one subgroup step (4 on this domain)
+        return jnp.roll(a, -4, axis=-1)
 
-        def mulc(a, b):
-            return fops.mul(sf, a, b)
+    one = fops.constant(sf, 1, (order,))
+    # beta + 1 and gamma * (beta + 1) as runtime columns
+    beta1_col = fops.add(sf, beta_col, fops.constant(sf, 1, (1,)))
+    gb1_col = fops.mul(sf, gamma_col, beta1_col)
 
-        def cmul(c, a):  # big-constant multiply
-            return fops.mul(sf, fops.constant(sf, c, (order,)), a)
+    def addc(a, b):
+        return fops.add(sf, a, b)
 
-        z1_term = mulc(l0_d, fops.sub(sf, z4, one))
-        t_shift = addc(gb1_d, addc(t4, cmul(beta, sh(t4))))
-        lhs = mulc(mulc(mulc(mulc(xg_d, z4), fops.constant(sf, beta1, (order,))),
-                        addc(gamma_d, f4)), t_shift)
-        h1_t = addc(gb1_d, addc(h14, cmul(beta, sh(h14))))
-        h2_t = addc(gb1_d, addc(h24, cmul(beta, sh(h24))))
-        rhs = mulc(mulc(mulc(xg_d, sh(z4)), h1_t), h2_t)
-        shift_term = fops.sub(sf, lhs, rhs)
-        hs_term = mulc(ln_d, fops.sub(sf, h14, sh(h24)))
-        last_term = mulc(ln_d, fops.sub(sf, z4, one))
+    def mulc(a, b):
+        return fops.mul(sf, a, b)
 
-        # fold with powers of alpha
-        terms = [z1_term, shift_term, hs_term, last_term]
-        ps = []
-        ap = 1
-        for tm in terms:
-            ps.append((fops.constant(sf, ap, ())[:, None], 255, tm, 255, 1))
-            ap = ap * alpha % p
-        vals = fops.product_sum(sf, ps)
-        return ifft(pre4, vals)
+    def cmul(col, a):  # runtime-column multiply
+        return fops.product_sum(sf, [(col, 255, a, 255, 1)])
 
-    return jax.jit(compute)(polys, z_poly)
+    z1_term = mulc(l0_d, fops.sub(sf, z4, one))
+    t_shift = addc(gb1_col, addc(t4, cmul(beta_col, sh(t4))))
+    lhs = mulc(mulc(cmul(beta1_col, mulc(xg_d, z4)),
+                    addc(gamma_col, f4)), t_shift)
+    h1_t = addc(gb1_col, addc(h14, cmul(beta_col, sh(h14))))
+    h2_t = addc(gb1_col, addc(h24, cmul(beta_col, sh(h24))))
+    rhs = mulc(mulc(mulc(xg_d, sh(z4)), h1_t), h2_t)
+    shift_term = fops.sub(sf, lhs, rhs)
+    hs_term = mulc(ln_d, fops.sub(sf, h14, sh(h24)))
+    last_term = mulc(ln_d, fops.sub(sf, z4, one))
+
+    # fold with powers of alpha
+    terms = [z1_term, shift_term, hs_term, last_term]
+    ap = powers_dyn(sf, alpha_col, len(terms))
+    ps = [(ap[:, i:i + 1], 255, tm, 255, 1) for i, tm in enumerate(terms)]
+    vals = fops.product_sum(sf, ps)
+    return ifft(pre4, vals)
+
+
+def _vanishing_polynomial(sf, polys, z_poly, beta, gamma, alpha, n):
+    """Evaluate the Plookup vanishing identity on the 4(n+1) domain
+    (reference: plookup.rs:205-271).  Challenges enter as runtime columns
+    so one trace serves all lookups of a size."""
+    from ..protocol.prover import _col
+    from ..utils import cached_jit
+    l0_d, ln_d, xg_d = _vanishing_consts(sf, n)
+    return cached_jit(_vanishing_body, sf, n)(
+        polys, z_poly, l0_d, ln_d, xg_d,
+        _col(sf, beta), _col(sf, gamma), _col(sf, alpha))
 
 
 def _open_all(sf, polys, z_poly, quotient, zeta, generator) -> PlookupOpenings:
-    from ..poly.polynomial import eval_at
+    from ..poly.polynomial import eval_at_dyn
+    from ..protocol.prover import _col
+    from ..utils import cached_jit
     p = sf.p
     right = zeta * generator % p
 
     def ev(q, pt):
-        return fops.to_ints(sf, jax.jit(lambda c: eval_at(sf, c, pt))(q))
+        return fops.to_ints(sf, cached_jit(eval_at_dyn, sf)(q, _col(sf, pt)))
 
     local = ev(polys, zeta)      # [4]
     rightv = ev(polys, right)
@@ -295,7 +309,8 @@ def verify(curve: CurveSpec, t: List[int], proof: PlookupProof):
     h = blake_hash_usize_to_curve(curve, 2 * n + 2)
     u_curve = blake_hash_usize_to_curve(curve, 2 * n + 3)
 
-    t_coeffs = jax.jit(lambda v: ifft(pre, v))(
+    from ..utils import cached_jit
+    t_coeffs = cached_jit(ifft, pre)(
         ints_to_device_matrix(sf, [t]))
     engine = CommitmentEngine(curve, gs[:n + 1], h)
     c_t = engine.commit_many(t_coeffs, False, None)[0]

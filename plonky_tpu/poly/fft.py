@@ -132,6 +132,28 @@ def powers_device(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
     return acc
 
 
+def powers_dyn(spec: FieldSpec, base_col: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[base^0 .. base^(n-1)] as [D, n] from a TRACED [D, 1] base.
+
+    Unlike `powers_device` (host-int base baked into the graph as constants),
+    this keeps the base a runtime input, so jits over it are reusable across
+    proofs.  Doubling construction: ~n field muls in log2(n) batched steps.
+    """
+    acc = fops.constant(spec, 1, (1,))
+    top = base_col  # invariant: top = base^(width of acc)
+    while acc.shape[-1] < n:
+        acc = jnp.concatenate([acc, fops.mul(spec, acc, top)], axis=-1)
+        top = fops.square(spec, top)
+    return acc[:, :n]
+
+
+def lde(pre: FftPrecomputation, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad the coefficient axis to pre.n and FFT (the 8x low-degree
+    extension; reference: src/plonk_util.rs:179-190)."""
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, pre.n - coeffs.shape[-1])]
+    return fft(pre, jnp.pad(coeffs, pad))
+
+
 def coset_fft(pre: FftPrecomputation, coeffs: jnp.ndarray, shift: int) -> jnp.ndarray:
     """Evaluations over the coset shift*H: scale coeff i by shift^i, then FFT."""
     powers = powers_device(pre.spec, shift, pre.n)

@@ -73,7 +73,8 @@ def points_to_device(curve: CurveSpec, pts) -> cops.Point:
 
 
 def device_point_to_host(curve: CurveSpec, pt: cops.Point) -> chost.AffinePoint:
-    x, y, zero = jax.jit(lambda q: cops.to_affine(curve, q))(pt)
+    from ..utils import cached_jit
+    x, y, zero = cached_jit(cops.to_affine, curve)(pt)
     if bool(np.asarray(zero)):
         return chost.zero_point(curve)
     return chost.AffinePoint(curve, fops.to_ints(curve.base, x),
@@ -125,7 +126,7 @@ class CommitmentEngine:
         return out
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: circuits key per-circuit jit caches
 class Circuit:
     """All data needed to generate/verify proofs (reference: plonk.rs:31-70)."""
     curve: CurveSpec
@@ -310,12 +311,13 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
         # constant polynomials (transpose gate-major -> wire-major)
         wire_constants = [list(col) for col in zip(*builder.gate_constants)]
         const_values = ints_to_device_matrix(spec, wire_constants)  # [D, 6, n]
-        constant_polynomials = jax.jit(lambda v: ifft(fft_n, v))(const_values)
+        from ..utils import cached_jit
+        constant_polynomials = cached_jit(ifft, fft_n)(const_values)
         constants_8n = _lde_8n(spec, fft_8n, constant_polynomials)
         c_constants = engine.commit_many(constant_polynomials, blinding=False)
 
         sigma_vals_dev = ints_to_device_matrix(spec, sigma_chunks)
-        s_sigma_polynomials = jax.jit(lambda v: ifft(fft_n, v))(sigma_vals_dev)
+        s_sigma_polynomials = cached_jit(ifft, fft_n)(sigma_vals_dev)
         s_sigma_values_8n = _lde_8n(spec, fft_8n, s_sigma_polynomials)
         c_s_sigmas = engine.commit_many(s_sigma_polynomials, blinding=False)
 
@@ -350,6 +352,6 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
 def _lde_8n(spec, fft_8n: FftPrecomputation, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad coefficients to 8n and evaluate (reference:
     plonk_util.rs:179-190 polynomials_to_values_padded)."""
-    n8 = fft_8n.n
-    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n8 - coeffs.shape[-1])]
-    return jax.jit(lambda c: fft(fft_8n, jnp.pad(c, pad)))(coeffs)
+    from ..poly.fft import lde
+    from ..utils import cached_jit
+    return cached_jit(lde, fft_8n)(coeffs)

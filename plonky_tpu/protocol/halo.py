@@ -23,7 +23,7 @@ from ..curves import ops as cops
 from ..curves.spec import CurveSpec
 from ..fields import host as fhost
 from ..fields import ops as fops
-from ..poly.fft import powers_device
+from ..poly.fft import powers_dyn
 from .plonk_util import (
     halo_n,
     halo_n_mul,
@@ -48,10 +48,13 @@ class OpeningProof:
     schnorr_proof: SchnorrProof
 
 
+def _inner_product_body(spec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return fops.sum_reduce(spec, fops.mul(spec, a, b), 0)
+
+
 def _inner_product_device(spec, a: jnp.ndarray, b: jnp.ndarray) -> int:
-    prod = fops.mul(spec, a, b)
-    s = fops.sum_reduce(spec, prod, 0)
-    return fops.to_ints(spec, s)
+    from ..utils import cached_jit
+    return fops.to_ints(spec, cached_jit(_inner_product_body, spec)(a, b))
 
 
 def _scale_add_device(spec, ca_d: jnp.ndarray, a: jnp.ndarray,
@@ -125,16 +128,17 @@ def batch_opening_proof(
     # reduce all coefficient vectors into one: sum_i n(u^i) * coeffs_i
     scal_dev = jnp.stack([jnp.asarray(sf.to_digits(s))
                           for s in actual_scalars], axis=1)  # [D, K]
-    halo_a = jax.jit(lambda polys, sc: fops.product_sum(sf, [
-        (sc[:, i:i + 1], 255, polys[:, i], 255, 1)
-        for i in range(K)]))(polynomials_coeffs, scal_dev)
+    halo_a = _reduce_polys_jit(sf, K)(polynomials_coeffs, scal_dev)
 
     u_prime = halo_n_mul(curve, scalar_to_bits_le(u_scaling, security_bits),
                          u_curve)
 
     # halo_b: v-weighted combination of powers of the opening points
-    # (reference: halo.rs:143-155)
-    halo_b = jax.jit(lambda: _build_halo_b(sf, opening_points, v, degree))()
+    # (reference: halo.rs:143-155); points and v enter as runtime columns so
+    # the trace is shared across proofs
+    from ..utils import cached_jit
+    pts_cols = jnp.concatenate([_sc(sf, pt) for pt in opening_points], axis=1)
+    halo_b = cached_jit(_build_halo_b_dyn, sf, degree)(pts_cols, _sc(sf, v))
 
     halo_g_dev = pedersen_g_dev
     halo_l: List[chost.AffinePoint] = []
@@ -224,15 +228,23 @@ def batch_opening_proof(
                         schnorr_proof=schnorr)
 
 
-def _build_halo_b(spec, points, v, degree):
-    """b_i = sum_j v^j point_j^i (reference: halo.rs:143-155)."""
+@functools.lru_cache(maxsize=None)
+def _reduce_polys_jit(sf, K: int):
+    def body(polys, sc):
+        return fops.product_sum(sf, [
+            (sc[:, i:i + 1], 255, polys[:, i], 255, 1) for i in range(K)])
+    return jax.jit(body)
+
+
+def _build_halo_b_dyn(spec, degree, pts_cols, v_col):
+    """b_i = sum_j v^j point_j^i (reference: halo.rs:143-155).
+    pts_cols: [D, P] runtime opening points, v_col: [D, 1]."""
+    P = pts_cols.shape[1]
+    vp = powers_dyn(spec, v_col, P)   # [D, P]
     terms = []
-    vp = 1
-    for pt in points:
-        pw = powers_device(spec, pt, degree)
-        c = fops.constant(spec, vp, ())[:, None]
-        terms.append((c, 255, pw, 255, 1))
-        vp = vp * v % spec.p
+    for j in range(P):
+        pw = powers_dyn(spec, pts_cols[:, j:j + 1], degree)
+        terms.append((vp[:, j:j + 1], 255, pw, 255, 1))
     return fops.product_sum(spec, terms)
 
 

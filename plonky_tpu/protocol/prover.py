@@ -22,9 +22,9 @@ from ..circuit.target import GRID_WIDTH, NUM_ROUTED_WIRES, NUM_WIRES
 from ..circuit.witness import Witness
 from ..fields import ops as fops
 from ..hashing.challenger import Challenger
-from ..poly.fft import coset_fft, coset_ifft, fft, ifft, powers_device
-from ..poly.polynomial import divide_by_z_h, eval_at
-from ..utils import ceil_div
+from ..poly.fft import coset_fft, coset_ifft, fft, ifft, lde, powers_dyn
+from ..poly.polynomial import divide_by_z_h, eval_at_dyn
+from ..utils import cached_jit, ceil_div
 from ..utils.timing import phase
 from . import halo as halo_mod
 from .circuit import Circuit, ints_to_device_matrix
@@ -32,6 +32,18 @@ from .plonk_util import try_convert
 from .proof import OpeningSet, Proof
 
 QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER = 7
+
+
+def _col(spec, v: int) -> jnp.ndarray:
+    """Host int -> [D, 1] device digit column.  Per-proof challenges enter
+    jitted graphs through these runtime columns so one traced program
+    serves every proof of a circuit shape (no per-challenge re-trace)."""
+    return jnp.asarray(
+        np.asarray(spec.to_digits(v % spec.p), dtype=np.int32))[:, None]
+
+
+def _div_zh(sf, n, c):
+    return divide_by_z_h(sf, c, n)
 
 
 def generate_proof(circuit: Circuit, witness: Witness,
@@ -47,8 +59,8 @@ def generate_proof(circuit: Circuit, witness: Witness,
     with phase("prover.wire_ldes"):
         wire_values = witness.transpose()          # host [9][n]
         wires_dev = ints_to_device_matrix(sf, wire_values)   # [D, 9, n]
-        wire_polys = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_dev)
-        wires_8n = _lde(circuit, wire_polys)
+        wire_polys = cached_jit(ifft, circuit.fft_n)(wires_dev)
+        wires_8n = cached_jit(lde, circuit.fft_8n)(wire_polys)
 
     # --- commit wires (plonk.rs:100-105) ----------------------------------
     with phase("prover.commit_wires"):
@@ -62,7 +74,7 @@ def generate_proof(circuit: Circuit, witness: Witness,
         for i in range(num_pi_gates):
             w[circuit.num_gates_without_pis + 2 * i] = 0
     wires_no_pis_dev = ints_to_device_matrix(sf, wire_values_no_pis)
-    wire_polys_no_pis = jax.jit(lambda v: ifft(circuit.fft_n, v))(wires_no_pis_dev)
+    wire_polys_no_pis = cached_jit(ifft, circuit.fft_n)(wires_no_pis_dev)
 
     # --- beta, gamma -------------------------------------------------------
     challenger.observe_affine_points([c.commitment for c in c_wires])
@@ -72,7 +84,7 @@ def generate_proof(circuit: Circuit, witness: Witness,
 
     # --- permutation polynomial Z (plonk_util.rs:234-262) ------------------
     z_values = _permutation_polynomial(circuit, wires_dev, beta, gamma)
-    z_poly = jax.jit(lambda v: ifft(circuit.fft_n, v))(z_values)
+    z_poly = cached_jit(ifft, circuit.fft_n)(z_values)
     c_z = circuit.commit_engine.commit_many(
         z_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
 
@@ -85,7 +97,7 @@ def generate_proof(circuit: Circuit, witness: Witness,
                                            alpha, beta, gamma)
 
     # --- t = vanishing / Z_H, split into 7 chunks (plonk.rs:170-197) --------
-    t_coeffs = jax.jit(lambda c: divide_by_z_h(sf, c, n))(vanishing_coeffs)
+    t_coeffs = cached_jit(_div_zh, sf, n)(vanishing_coeffs)
     # split into 7 degree-n chunks (the quotient has degree < 7n)
     t_chunks = t_coeffs[:, :QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER * n].reshape(
         sf.n_digits, QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER, n)
@@ -164,172 +176,167 @@ def generate_proof(circuit: Circuit, witness: Witness,
     )
 
 
-def _lde(circuit: Circuit, coeffs: jnp.ndarray) -> jnp.ndarray:
-    n8 = circuit.fft_8n.n
-    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, n8 - coeffs.shape[-1])]
-    return jax.jit(lambda c: fft(circuit.fft_8n, jnp.pad(c, pad)))(coeffs)
+@functools.lru_cache(maxsize=None)
+def _circuit_perm_consts(circuit: Circuit):
+    """Per-circuit device constants for the Z computation (built once, not
+    per proof: the host->device transfer of [D, 6, n] sigma values is real
+    wall-clock)."""
+    sf = circuit.spec
+    subgroup = ints_to_device_matrix(sf, [circuit.subgroup_n])[:, 0]  # [D, n]
+    sigma_dev = ints_to_device_matrix(sf, circuit.sigma_values_n)     # [D, 6, n]
+    return subgroup, sigma_dev
+
+
+def _perm_poly_body(sf, wires, subgroup_d, sigma_d, beta_col, gamma_col):
+    """Z running product, fully on device: per-point numerator/denominator
+    over the 6 routed wires, batched inverse, then a cumulative product
+    (associative scan with field multiply) -- the prefix-scan formulation of
+    the reference's sequential loop (plonk_util.rs:242-261).  beta/gamma are
+    runtime [D, 1] columns: one trace serves all proofs."""
+    num = None
+    den = None
+    for j in range(NUM_ROUTED_WIRES):
+        w = wires[:, j]
+        k_j = fops.constant(sf, get_subgroup_shift(sf, j), (1,))
+        kb = fops.mul(sf, k_j, beta_col)
+        s_id = fops.product_sum(sf, [(kb, 255, subgroup_d, 255, 1)])
+        f_term = fops.product_sum(sf, [
+            (w, 255, None, 0, 1),
+            (s_id, 255, None, 0, 1),
+            (gamma_col, 255, None, 0, 1)])
+        s_sig = fops.product_sum(sf, [
+            (beta_col, 255, sigma_d[:, j], 255, 1)])
+        g_term = fops.product_sum(sf, [
+            (w, 255, None, 0, 1),
+            (s_sig, 255, None, 0, 1),
+            (gamma_col, 255, None, 0, 1)])
+        num = f_term if num is None else fops.mul(sf, num, f_term)
+        den = g_term if den is None else fops.mul(sf, den, g_term)
+    ratio = fops.mul(sf, num, fops.inverse(sf, den))
+    # cumulative product, exclusive: Z_0 = 1, Z_i = prod_{l<i} ratio_l
+    def comb(a, b):
+        return fops.mul(sf, a, b)
+    inclusive = jax.lax.associative_scan(comb, ratio, axis=ratio.ndim - 1)
+    one = fops.constant(sf, 1, (1,))
+    return jnp.concatenate([one, inclusive[:, :-1]], axis=-1)
 
 
 def _permutation_polynomial(circuit: Circuit, wires_dev: jnp.ndarray,
                             beta: int, gamma: int) -> jnp.ndarray:
-    """Z running product, fully on device: per-point numerator/denominator
-    over the 6 routed wires, batched inverse, then a cumulative product
-    (associative scan with field multiply) -- the prefix-scan formulation of
-    the reference's sequential loop (plonk_util.rs:242-261)."""
     sf = circuit.spec
-    p = sf.p
-    n = circuit.degree()
-    k_is = [get_subgroup_shift(sf, j) for j in range(NUM_ROUTED_WIRES)]
-    subgroup = ints_to_device_matrix(sf, [circuit.subgroup_n])[:, 0]  # [D, n]
-    sigma_dev = ints_to_device_matrix(sf, circuit.sigma_values_n)     # [D, 6, n]
-
-    def compute(wires, subgroup_d, sigma_d):
-        beta_d = fops.constant(sf, beta, ())[:, None]
-        gamma_d = fops.constant(sf, gamma, (n,))
-        num = None
-        den = None
-        for j in range(NUM_ROUTED_WIRES):
-            w = wires[:, j]
-            s_id = fops.product_sum(sf, [
-                (fops.constant(sf, k_is[j] * beta % p, ())[:, None], 255,
-                 subgroup_d, 255, 1)])
-            f_term = fops.product_sum(sf, [
-                (w, 255, None, 0, 1),
-                (s_id, 255, None, 0, 1),
-                (gamma_d, 255, None, 0, 1)])
-            s_sig = fops.product_sum(sf, [
-                (beta_d, 255, sigma_d[:, j], 255, 1)])
-            g_term = fops.product_sum(sf, [
-                (w, 255, None, 0, 1),
-                (s_sig, 255, None, 0, 1),
-                (gamma_d, 255, None, 0, 1)])
-            num = f_term if num is None else fops.mul(sf, num, f_term)
-            den = g_term if den is None else fops.mul(sf, den, g_term)
-        ratio = fops.mul(sf, num, fops.inverse(sf, den))
-        # cumulative product, exclusive: Z_0 = 1, Z_i = prod_{l<i} ratio_l
-        def comb(a, b):
-            return fops.mul(sf, a, b)
-        inclusive = jax.lax.associative_scan(comb, ratio, axis=ratio.ndim - 1)
-        one = fops.constant(sf, 1, (1,))
-        return jnp.concatenate([one, inclusive[:, :-1]], axis=-1)
-
-    return jax.jit(compute)(wires_dev, subgroup, sigma_dev)
+    subgroup, sigma_dev = _circuit_perm_consts(circuit)
+    return cached_jit(_perm_poly_body, sf)(
+        wires_dev, subgroup, sigma_dev, _col(sf, beta), _col(sf, gamma))
 
 
-def _vanishing_poly(circuit: Circuit, wires_8n: jnp.ndarray,
-                    z_poly: jnp.ndarray, alpha: int, beta: int,
-                    gamma: int) -> jnp.ndarray:
-    """Evaluate all filtered gate constraints + permutation terms at all 8n
-    points, fold by powers of alpha, interpolate (reference: plonk.rs:375-456).
-    This is the prover's biggest compute (SURVEY.md P4): one fused batched
-    evaluation over the [8n] lane axis."""
+@functools.lru_cache(maxsize=None)
+def _circuit_vanishing_consts(circuit: Circuit):
+    """subgroup_8n and x^n - 1 over it, as per-circuit device constants."""
     sf = circuit.spec
     p = sf.p
     n = circuit.degree()
     n8 = 8 * n
-    k_is = [get_subgroup_shift(sf, j) for j in range(NUM_ROUTED_WIRES)]
-
-    # host-precomputed L_1(x) and subgroup_8n (cheap closed forms)
     g8 = circuit.subgroup_generator_8n
     subgroup_8n = [0] * n8
     cur = 1
     for i in range(n8):
         subgroup_8n[i] = cur
         cur = cur * g8 % p
-    from .plonk_util import eval_l_1
-    l1_vals = [eval_l_1(sf, n, x) for x in subgroup_8n[:8]]  # periodic? no!
-    # L_1 is NOT 8-periodic; compute for all points (host, ~8n modexps would
-    # be slow) -> compute on device instead:
-    #   L_1(x) = (x^n - 1) / (n (x - 1)), special-cased at x = 1 (index 0).
     sub8_dev = ints_to_device_matrix(sf, [subgroup_8n])[:, 0]   # [D, 8n]
     # x^n over the 8n subgroup is 8-periodic: (g8^i)^n = (g8^n)^i
     g8n = pow(g8, n, p)
-    xn_vals = [pow(g8n, i % 8, p) for i in range(n8)]
-    xn_minus_1 = [(v - 1) % p for v in xn_vals]
-
-    def compute(wires8, z_coeffs, consts8, sigma8, sub8):
-        # z on the 8n domain, plus its g-shifted version (shift by 8)
-        z8 = fft(circuit.fft_8n,
-                 jnp.pad(z_coeffs, [(0, 0), (0, n8 - z_coeffs.shape[-1])]))
-        z8_right = jnp.roll(z8, -8, axis=-1)
-        wires_right = jnp.roll(wires8, -8, axis=-1)
-        wires_below = jnp.roll(wires8, -8 * GRID_WIDTH, axis=-1)
-
-        alg = BatchAlgebra(sf, (n8,))
-        lc = [alg.wrap(consts8[:, j]) for j in range(consts8.shape[1])]
-        lw = [alg.wrap(wires8[:, j]) for j in range(NUM_WIRES)]
-        rw = [alg.wrap(wires_right[:, j]) for j in range(NUM_WIRES)]
-        bw = [alg.wrap(wires_below[:, j]) for j in range(NUM_WIRES)]
-
-        constraint_terms = evaluate_all_constraints(alg, circuit.ctx,
-                                                    lc, lw, rw, bw)
-
-        # L_1(x) (z(x) - 1)
-        one = alg.one()
-        xn_m1 = alg.wrap(ints_to_device_matrix(sf, [xn_minus_1])[:, 0])
-        x_m1 = alg.sub(alg.wrap(sub8), one)
-        denom = alg.mul_const(n, x_m1)
-        denom_inv = (fops.inverse(sf, alg.unwrap(denom)), 255)
-        l1 = alg.mul(xn_m1, denom_inv)
-        # fix index 0 (x = 1): L_1(1) = 1.  1/(x-1) is inverse(0)=0 there, so
-        # l1[0] is 0; add indicator to make it 1.
-        ind = np.zeros(n8, dtype=np.int32)
-        ind[0] = 1
-        l1 = alg.add(l1, alg.wrap(
-            fops.constant(sf, 1, (n8,)) * jnp.asarray(ind)))
-        z_term = alg.mul(l1, alg.sub(alg.wrap(z8), one))
-
-        # permutation f'/g' terms
-        f_prime = one
-        g_prime = one
-        for j in range(NUM_ROUTED_WIRES):
-            w = alg.wrap(wires8[:, j])
-            s_id = alg.mul_const(k_is[j] * beta % p, alg.wrap(sub8))
-            f_part = alg.add(w, alg.add(s_id, alg.constant(gamma)))
-            s_sig = alg.mul_const(beta, alg.wrap(sigma8[:, j]))
-            g_part = alg.add(w, alg.add(s_sig, alg.constant(gamma)))
-            f_prime = alg.mul(f_prime, f_part)
-            g_prime = alg.mul(g_prime, g_part)
-        v_shift = alg.sub(alg.mul(f_prime, alg.wrap(z8)),
-                          alg.mul(g_prime, alg.wrap(z8_right)))
-
-        terms = [z_term, v_shift] + constraint_terms
-        # fold by powers of alpha: one fused product-sum
-        ps_terms = []
-        ap = 1
-        for t in terms:
-            arr, db = t
-            ps_terms.append((fops.constant(sf, ap, ())[:, None], 255,
-                             arr, db, 1))
-            ap = ap * alpha % p
-        vanishing_values = fops.product_sum(sf, ps_terms)
-        return ifft(circuit.fft_8n, vanishing_values)
-
-    return jax.jit(compute)(wires_8n, z_poly, circuit.constants_8n,
-                            circuit.s_sigma_values_8n, sub8_dev)
+    xn_minus_1 = [(pow(g8n, i % 8, p) - 1) % p for i in range(n8)]
+    xn_m1_dev = ints_to_device_matrix(sf, [xn_minus_1])[:, 0]
+    return sub8_dev, xn_m1_dev
 
 
-def _pi_quotient(circuit: Circuit, wire_polys_no_pis: jnp.ndarray,
-                 alpha: int, num_pi_gates: int) -> jnp.ndarray:
-    """alpha-combination of no-PI wire polys, divided exactly by
-    prod_k (X - x_k) over the PI gate points, via coset evaluate/divide
-    (reference: plonk.rs:200-235 uses Newton polynomial division; the coset
-    form is the FFT-shaped equivalent for an exact division)."""
+def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
+                    xn_m1_arr, alpha_col, beta_col, gamma_col):
+    """Evaluate all filtered gate constraints + permutation terms at all 8n
+    points, fold by powers of alpha, interpolate (reference: plonk.rs:375-456).
+    This is the prover's biggest compute (SURVEY.md P4): one fused batched
+    evaluation over the [8n] lane axis.  All per-proof challenges are
+    runtime [D, 1] columns so the trace is reused across proofs."""
+    sf = circuit.spec
+    n = circuit.degree()
+    n8 = 8 * n
+    # z on the 8n domain, plus its g-shifted version (shift by 8)
+    z8 = fft(circuit.fft_8n,
+             jnp.pad(z_coeffs, [(0, 0), (0, n8 - z_coeffs.shape[-1])]))
+    z8_right = jnp.roll(z8, -8, axis=-1)
+    wires_right = jnp.roll(wires8, -8, axis=-1)
+    wires_below = jnp.roll(wires8, -8 * GRID_WIDTH, axis=-1)
+
+    alg = BatchAlgebra(sf, (n8,))
+    lc = [alg.wrap(consts8[:, j]) for j in range(consts8.shape[1])]
+    lw = [alg.wrap(wires8[:, j]) for j in range(NUM_WIRES)]
+    rw = [alg.wrap(wires_right[:, j]) for j in range(NUM_WIRES)]
+    bw = [alg.wrap(wires_below[:, j]) for j in range(NUM_WIRES)]
+
+    constraint_terms = evaluate_all_constraints(alg, circuit.ctx,
+                                                lc, lw, rw, bw)
+
+    # L_1(x) (z(x) - 1), with L_1(x) = (x^n - 1) / (n (x - 1)) on device,
+    # special-cased at x = 1 (index 0)
+    one = alg.one()
+    xn_m1 = alg.wrap(xn_m1_arr)
+    x_m1 = alg.sub(alg.wrap(sub8), one)
+    denom = alg.mul_const(n, x_m1)
+    denom_inv = (fops.inverse(sf, alg.unwrap(denom)), 255)
+    l1 = alg.mul(xn_m1, denom_inv)
+    # fix index 0 (x = 1): L_1(1) = 1.  1/(x-1) is inverse(0)=0 there, so
+    # l1[0] is 0; add indicator to make it 1.
+    ind = np.zeros(n8, dtype=np.int32)
+    ind[0] = 1
+    l1 = alg.add(l1, alg.wrap(
+        fops.constant(sf, 1, (n8,)) * jnp.asarray(ind)))
+    z_term = alg.mul(l1, alg.sub(alg.wrap(z8), one))
+
+    # permutation f'/g' terms
+    f_prime = one
+    g_prime = one
+    for j in range(NUM_ROUTED_WIRES):
+        w = alg.wrap(wires8[:, j])
+        k_j = fops.constant(sf, get_subgroup_shift(sf, j), (1,))
+        kb = fops.mul(sf, k_j, beta_col)
+        s_id = alg.mul((kb, 255), alg.wrap(sub8))
+        f_part = alg.add(w, alg.add(s_id, (gamma_col, 255)))
+        s_sig = alg.mul((beta_col, 255), alg.wrap(sigma8[:, j]))
+        g_part = alg.add(w, alg.add(s_sig, (gamma_col, 255)))
+        f_prime = alg.mul(f_prime, f_part)
+        g_prime = alg.mul(g_prime, g_part)
+    v_shift = alg.sub(alg.mul(f_prime, alg.wrap(z8)),
+                      alg.mul(g_prime, alg.wrap(z8_right)))
+
+    terms = [z_term, v_shift] + constraint_terms
+    # fold by powers of alpha: one fused product-sum
+    ap = powers_dyn(sf, alpha_col, len(terms))   # [D, n_terms]
+    ps_terms = [(ap[:, i:i + 1], 255, arr, db, 1)
+                for i, (arr, db) in enumerate(terms)]
+    vanishing_values = fops.product_sum(sf, ps_terms)
+    return ifft(circuit.fft_8n, vanishing_values)
+
+
+def _vanishing_poly(circuit: Circuit, wires_8n: jnp.ndarray,
+                    z_poly: jnp.ndarray, alpha: int, beta: int,
+                    gamma: int) -> jnp.ndarray:
+    sf = circuit.spec
+    sub8_dev, xn_m1_dev = _circuit_vanishing_consts(circuit)
+    return cached_jit(_vanishing_body, circuit)(
+        wires_8n, z_poly, circuit.constants_8n, circuit.s_sigma_values_8n,
+        sub8_dev, xn_m1_dev, _col(sf, alpha), _col(sf, beta), _col(sf, gamma))
+
+
+@functools.lru_cache(maxsize=None)
+def _circuit_pi_denom_inv(circuit: Circuit, num_pi_gates: int) -> jnp.ndarray:
+    """1 / prod_k (s h_i - x_k) over the coset, per circuit (the PI gate
+    positions are fixed at build time)."""
     sf = circuit.spec
     p = sf.p
     n = circuit.degree()
-    # vanishing_pis = sum_j alpha^j wire_poly_no_pis_j  (degree < n)
-    terms = []
-    ap = 1
-    for j in range(NUM_WIRES):
-        terms.append((fops.constant(sf, ap, ())[:, None], 255,
-                      wire_polys_no_pis[:, j], 255, 1))
-        ap = ap * alpha % p
-
     pi_points = [circuit.subgroup_n[circuit.num_gates_without_pis + 2 * i]
                  for i in range(num_pi_gates)]
     shift = sf.generator
-    # denominator on the coset: prod_k (s h_i - x_k)
     denom_vals = [1] * n
     cur_pts = [shift * h % p for h in circuit.subgroup_n]
     for xk in pi_points:
@@ -337,17 +344,31 @@ def _pi_quotient(circuit: Circuit, wire_polys_no_pis: jnp.ndarray,
             denom_vals[i] = denom_vals[i] * ((cur_pts[i] - xk) % p) % p
     from ..fields import host as fhost
     denom_inv = fhost.batch_inverse(sf, denom_vals) if pi_points else [1] * n
-    denom_inv_dev = ints_to_device_matrix(sf, [denom_inv])[:, 0]
+    return ints_to_device_matrix(sf, [denom_inv])[:, 0]
 
-    def compute(polys_terms_arrs, dinv):
-        vanishing_pis = fops.product_sum(sf, [
-            (c, 255, arr, 255, 1) for (c, arr) in polys_terms_arrs])
-        vals = coset_fft(circuit.fft_n, vanishing_pis, shift)
-        q_vals = fops.mul(sf, vals, dinv)
-        return coset_ifft(circuit.fft_n, q_vals, shift)
 
-    arrs = [(c, arr) for (c, _, arr, _, _) in terms]
-    return jax.jit(compute)(arrs, denom_inv_dev)
+def _pi_quotient_body(circuit, wire_polys_no_pis, alpha_col, dinv):
+    """alpha-combination of no-PI wire polys, divided exactly by
+    prod_k (X - x_k) over the PI gate points, via coset evaluate/divide
+    (reference: plonk.rs:200-235 uses Newton polynomial division; the coset
+    form is the FFT-shaped equivalent for an exact division)."""
+    sf = circuit.spec
+    shift = sf.generator
+    ap = powers_dyn(sf, alpha_col, NUM_WIRES)   # [D, 9]
+    vanishing_pis = fops.product_sum(sf, [
+        (ap[:, j:j + 1], 255, wire_polys_no_pis[:, j], 255, 1)
+        for j in range(NUM_WIRES)])
+    vals = coset_fft(circuit.fft_n, vanishing_pis, shift)
+    q_vals = fops.mul(sf, vals, dinv)
+    return coset_ifft(circuit.fft_n, q_vals, shift)
+
+
+def _pi_quotient(circuit: Circuit, wire_polys_no_pis: jnp.ndarray,
+                 alpha: int, num_pi_gates: int) -> jnp.ndarray:
+    sf = circuit.spec
+    dinv = _circuit_pi_denom_inv(circuit, num_pi_gates)
+    return cached_jit(_pi_quotient_body, circuit)(
+        wire_polys_no_pis, _col(sf, alpha), dinv)
 
 
 def _stack_polys(circuit: Circuit, wire_polys, z_poly, t_chunks, old_g_polys,
@@ -366,7 +387,7 @@ def _open_all(circuit: Circuit, all_polys: jnp.ndarray, old_proofs,
     """Evaluate every polynomial at zeta: inner products against the powers
     of zeta (reference: plonk.rs:458-482)."""
     sf = circuit.spec
-    vals = jax.jit(lambda polys: eval_at(sf, polys, zeta))(all_polys)
+    vals = cached_jit(eval_at_dyn, sf)(all_polys, _col(sf, zeta))
     ints = fops.to_ints(sf, vals)
     K = all_polys.shape[1]
     idx = 0

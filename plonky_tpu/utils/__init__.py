@@ -39,3 +39,33 @@ def transpose(matrix):
     if not matrix:
         return []
     return [list(row) for row in zip(*matrix)]
+
+
+import functools as _functools
+
+# Process-wide count of jit TRACES through cached_jit (the wrapped python
+# body only runs while tracing, so a cache hit leaves this untouched).
+# Tests assert a second proof of the same circuit adds zero traces.
+TRACE_COUNT = [0]
+
+
+@_functools.lru_cache(maxsize=None)
+def cached_jit(fn, *static):
+    """One process-wide jit per (function, static-arg tuple).
+
+    The hot protocol path must never build `jax.jit(lambda ...)` objects per
+    call: a fresh function identity defeats jit's in-process cache and forces
+    a re-trace (and an XLA cache lookup by serialized program) on every
+    proof.  All per-proof values (challenges, opening points) are passed as
+    device arrays so the traced graph is reused across proofs of the same
+    circuit shape.  Static args may be any hashable (FieldSpec, circuit,
+    FFT precomputation -- object identity is the right key for the latter
+    two, which are built once and reused).
+    """
+    import jax
+
+    def body(*args, **kwargs):
+        TRACE_COUNT[0] += 1
+        return fn(*static, *args, **kwargs)
+
+    return jax.jit(body)

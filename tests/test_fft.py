@@ -99,3 +99,61 @@ def test_divide_by_z_h():
         lambda c: divide_by_z_h(SPEC, c, n))(fops.from_ints(SPEC, t)))
     assert list(got)[:len(q)] == q
     assert all(v == 0 for v in list(got)[len(q):])
+
+
+def test_powers_dyn_and_eval_at_dyn():
+    from plonky_tpu.poly import eval_at_dyn, powers_dyn
+    p = SPEC.p
+    base = 31415926535
+    pw = fops.to_ints(SPEC, jax.jit(
+        lambda b: powers_dyn(SPEC, b, 9))(fops.from_ints(SPEC, [base])))
+    cur = 1
+    for i in range(9):
+        assert pw[i] == cur
+        cur = cur * base % p
+    coeffs = [7, 11, p - 1, 0, 123456789]
+    z = 271828182845
+    got = fops.to_ints(SPEC, jax.jit(
+        lambda c, zz: eval_at_dyn(SPEC, c, zz))(
+            fops.from_ints(SPEC, coeffs), fops.from_ints(SPEC, [z])))
+    assert got == eval_host(SPEC, coeffs, z)
+
+
+def test_inv_mod_xn():
+    from plonky_tpu.poly import inv_mod_xn
+    p = SPEC.p
+    rng = np.random.default_rng(10)
+    f = [int.from_bytes(rng.bytes(40), "little") % p for _ in range(6)]
+    f[0] |= 1  # ensure nonzero constant term
+    n = 11
+    g = fops.to_ints(SPEC, jax.jit(
+        lambda x: inv_mod_xn(SPEC, x, n))(fops.from_ints(SPEC, f)))
+    # host power-series product check: (f*g) mod x^n == 1
+    prod = [0] * n
+    for i, fi in enumerate(f):
+        for j, gj in enumerate(g):
+            if i + j < n:
+                prod[i + j] = (prod[i + j] + fi * gj) % p
+    assert prod == [1] + [0] * (n - 1)
+
+
+def test_polynomial_division():
+    from plonky_tpu.poly import polynomial_division
+    p = SPEC.p
+    rng = np.random.default_rng(11)
+    deg_a, deg_b = 12, 5
+    a = [int.from_bytes(rng.bytes(40), "little") % p for _ in range(deg_a + 1)]
+    b = [int.from_bytes(rng.bytes(40), "little") % p for _ in range(deg_b + 1)]
+    a[-1] |= 1
+    b[-1] |= 1
+    q, r = polynomial_division(SPEC, fops.from_ints(SPEC, a),
+                               fops.from_ints(SPEC, b), deg_a, deg_b)
+    qi, ri = list(fops.to_ints(SPEC, q)), list(fops.to_ints(SPEC, r))
+    # property test vs random evaluation points
+    # (reference: src/polynomial.rs:405-529)
+    for z in [3, 987654321, p - 5]:
+        lhs = eval_host(SPEC, a, z)
+        rhs = (eval_host(SPEC, qi, z) * eval_host(SPEC, b, z)
+               + eval_host(SPEC, ri, z)) % p
+        assert lhs == rhs
+    assert len(ri) < deg_b + 1 or all(v == 0 for v in ri[deg_b:])

@@ -2,6 +2,7 @@
 consistency, MDS, challenger determinism, hash-to-curve validity."""
 
 import numpy as np
+import pytest
 
 from plonky_tpu.curves import TWEEDLEDEE
 from plonky_tpu.fields import TWEEDLEDEE_BASE, ops
@@ -120,3 +121,26 @@ def test_blake_hash_to_curve():
         assert pt.is_valid() and not pt.zero
         pt2 = blake_hash_usize_to_curve(TWEEDLEDEE, seed)
         assert pt == pt2
+
+
+def test_chacha_core_matches_openssl():
+    """External cross-validation of the ChaCha core: with rounds=20 our
+    block function must reproduce OpenSSL's ChaCha20 keystream (same
+    quarter-round, state layout, and 64-bit block counter).  rand_chacha's
+    ChaCha8 is the same core at 8 rounds, so this pins everything except
+    the round count (fixed by the reference: rand_chacha 0.2.2)."""
+    import struct
+
+    pytest.importorskip("cryptography")
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms
+
+    from plonky_tpu.hashing.chacha import _chacha_block
+
+    key = bytes(range(32))
+    kw = list(struct.unpack("<8I", key))
+    for counter in (0, 1, 5, 1 << 33):
+        blk = _chacha_block(kw, counter, rounds=20)
+        ours = b"".join(struct.pack("<I", w) for w in blk)
+        nonce = struct.pack("<Q", counter) + bytes(8)
+        enc = Cipher(algorithms.ChaCha20(key, nonce), mode=None).encryptor()
+        assert enc.update(bytes(64)) == ours
