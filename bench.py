@@ -18,9 +18,12 @@ Deadline-proof by construction:
 
 Axon TPU executables are not persistently cached, so every run repays
 XLA/Mosaic compiles; sizes escalate small-first so a number is on the
-board within minutes.  Reference workloads:
-/root/reference/benches/bls12_g1_summations.rs:8-31 (MSM 2^16-2^22),
-/root/reference/benches/fft.rs:10-40 (FFT).
+board within minutes.  Measured 2026-08-18: the FIRST jit dispatch on the
+axon backend costs ~200 s (tunnel/backend warmup, independent of the
+kernel) — so ALL phases run in ONE child process that pays the warmup
+once, ordered cheapest-compile first (field -> fft -> msm).  Reference
+workloads: /root/reference/benches/bls12_g1_summations.rs:8-31
+(MSM 2^16-2^22), /root/reference/benches/fft.rs:10-40 (FFT).
 """
 
 import json
@@ -63,22 +66,22 @@ def emit(path: str, record: dict):
 
 
 # ---------------------------------------------------------------------------
-# Phase children.  Each escalates over sizes, records after every size, and
-# respects PLONKY_BENCH_CHILD_DEADLINE (absolute unix time) between sizes.
+# Phases.  Each escalates over sizes, records after every size, and respects
+# its deadline (absolute unix time) between sizes.
 # ---------------------------------------------------------------------------
 
 def child_deadline() -> float:
     return float(os.environ.get("PLONKY_BENCH_CHILD_DEADLINE", "1e18"))
 
 
-def phase_field(out_path: str, sizes):
+def phase_field(out_path: str, sizes, deadline=None):
     import jax
     from plonky_tpu.fields import TWEEDLEDEE_BASE as F, ops as fops
 
     rng = np.random.default_rng(0)
     mulf = fops.jitted('mul', F)
     for lg in sizes:
-        if time.time() > child_deadline():
+        if time.time() > (deadline or child_deadline()):
             return
         n = 1 << lg
         a = jax.numpy.asarray(rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
@@ -94,14 +97,14 @@ def phase_field(out_path: str, sizes):
         emit(out_path, {"field_mul_per_s": rate, "field_mul_log_batch": lg})
 
 
-def phase_fft(out_path: str, sizes):
+def phase_fft(out_path: str, sizes, deadline=None):
     import jax
     from plonky_tpu.fields import TWEEDLEDEE_BASE as F
     from plonky_tpu.poly.fft import FftPrecomputation, fft
 
     rng = np.random.default_rng(0)
     for lg in sizes:
-        if time.time() > child_deadline():
+        if time.time() > (deadline or child_deadline()):
             return
         n = 1 << lg
         pre = FftPrecomputation(F, n)
@@ -157,7 +160,7 @@ def _bench_points(curve, n: int):
     return P, scalars, expected
 
 
-def phase_msm(out_path: str, sizes):
+def phase_msm(out_path: str, sizes, deadline=None):
     import jax
     from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
     from plonky_tpu.curves import msm as cmsm, ops as cops
@@ -168,7 +171,7 @@ def phase_msm(out_path: str, sizes):
     msm_fn = jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=window,
                                            window_group=group))
     for lg in sizes:
-        if time.time() > child_deadline():
+        if time.time() > (deadline or child_deadline()):
             return
         n = 1 << lg
         P, scalars, expected = _bench_points(curve, n)
@@ -200,15 +203,40 @@ def phase_msm(out_path: str, sizes):
 
 PHASES = {"field": phase_field, "fft": phase_fft, "msm": phase_msm}
 
+# share of the remaining budget each phase may consume before yielding to
+# the next (msm, the headline, gets everything left)
+PHASE_SHARES = (("field", 0.12), ("fft", 0.35), ("msm", 1.0))
 
-def run_child(phase: str, out_path: str, sizes) -> None:
+
+def run_child(out_path: str, sizes: dict) -> None:
+    """Run ALL phases in this one process: the ~200 s axon warmup is paid
+    exactly once, then phases run cheapest-compile-first, each bounded by a
+    share of the remaining time so the MSM headline always gets a slot."""
     import jax
     if os.environ.get("PLONKY_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
     import plonky_tpu
     plonky_tpu.enable_compilation_cache()
     log("devices:", jax.devices())
-    PHASES[phase](out_path, sizes)
+    t0 = time.time()
+    sync(jax.jit(lambda x: x * 2 + 1)(jax.numpy.zeros((8, 128))))
+    warm = time.time() - t0
+    log(f"backend warmup: {warm:.1f}s")
+    emit(out_path, {"warmup_s": round(warm, 1)})
+    end = child_deadline()
+    for phase, share in PHASE_SHARES:
+        rem = end - time.time()
+        if rem < 30:
+            log(f"skipping phase {phase}: {rem:.0f}s left")
+            continue
+        deadline = time.time() + share * rem
+        t0 = time.time()
+        try:
+            PHASES[phase](out_path, sizes[phase], deadline)
+        except Exception as e:  # a failed phase must not kill the rest
+            log(f"phase {phase} FAILED: {e!r}")
+            emit(out_path, {f"{phase}_error": repr(e)[:200]})
+        emit(out_path, {f"{phase}_wall_s": round(time.time() - t0, 1)})
 
 
 # ---------------------------------------------------------------------------
@@ -235,54 +263,62 @@ def _headline(detail: dict) -> dict:
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
-        run_child(sys.argv[2], sys.argv[3],
-                  [int(s) for s in sys.argv[4].split(",")])
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        sizes = {p: [int(s) for s in os.environ.get(
+            f"PLONKY_BENCH_{p.upper()}_SIZES", d).split(",")]
+            for p, d in (("msm", "12,14,16,18,20,22"),
+                         ("fft", "14,16,18,20"),
+                         ("field", "18,20"))}
+        run_child(sys.argv[2], sizes)
         return
 
     detail = {}
-    sizes = {
-        "msm": os.environ.get("PLONKY_BENCH_MSM_SIZES", "12,14,16,18,20,22"),
-        "fft": os.environ.get("PLONKY_BENCH_FFT_SIZES", "14,16,18,20"),
-        "field": os.environ.get("PLONKY_BENCH_FIELD_SIZES", "18,20"),
-    }
-    # Budget shares of the REMAINING time when the phase starts; msm first
-    # (headline + worst compiles), a floor keeps later phases viable.
-    shares = {"msm": 0.62, "fft": 0.55, "field": 0.9}
+    out_path = tempfile.mktemp(prefix="bench_", suffix=".jsonl")
+    slice_s = max(60.0, remaining() - 20)
+    env = dict(os.environ)
+    env["PLONKY_BENCH_CHILD_DEADLINE"] = str(time.time() + slice_s - 15)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child", out_path],
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
 
-    def run_phase(phase):
-        rem = remaining()
-        if rem < 60:
-            log(f"skipping phase {phase}: {rem:.0f}s left")
-            return
-        slice_s = max(60.0, rem * shares[phase])
-        out_path = tempfile.mktemp(prefix=f"bench_{phase}_", suffix=".jsonl")
-        env = dict(os.environ)
-        env["PLONKY_BENCH_CHILD_DEADLINE"] = str(time.time() + slice_s - 30)
-        t0 = time.time()
-        try:
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--phase", phase,
-                 out_path, sizes[phase]],
-                timeout=slice_s, env=env,
-                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-        except subprocess.TimeoutExpired:
-            log(f"phase {phase} hit its {slice_s:.0f}s slice")
-        except Exception as e:
-            log(f"phase {phase} FAILED after {time.time()-t0:.0f}s: {e!r}")
+    # Poll the results file: print a cumulative headline whenever it grows,
+    # so the last stdout line is always parseable even if we are killed.
+    seen = 0
+    while True:
+        done = child.poll() is not None
         try:
             with open(out_path) as f:
-                for line in f:
-                    detail.update(json.loads(line))
+                lines = f.readlines()
         except FileNotFoundError:
-            detail[f"{phase}_error"] = "no results"
-        detail[f"{phase}_wall_s"] = round(time.time() - t0, 1)
-        # cumulative headline after every phase: the last stdout line is
-        # always the best result so far even if the parent is killed later
-        print(json.dumps(_headline(detail)), flush=True)
-
-    for phase in ("msm", "fft", "field"):
-        run_phase(phase)
+            lines = []
+        if len(lines) > seen:
+            for line in lines[seen:]:
+                try:
+                    detail.update(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+            seen = len(lines)
+            print(json.dumps(_headline(detail)), flush=True)
+        if done:
+            break
+        if time.time() - START > slice_s:
+            log("global budget exhausted; terminating child")
+            child.terminate()
+            try:
+                child.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                child.kill()
+            break
+        time.sleep(5)
+    try:  # pick up records written after the last poll
+        with open(out_path) as f:
+            for line in f.readlines()[seen:]:
+                try:
+                    detail.update(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+    except FileNotFoundError:
+        pass
     print(json.dumps(_headline(detail)), flush=True)
 
 

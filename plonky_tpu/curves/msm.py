@@ -145,6 +145,84 @@ def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
     return out_pts, out_flags
 
 
+def _seg_scan_gather(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray,
+                     pos: jnp.ndarray) -> cops.Point:
+    """Segmented inclusive-scan values at K query positions only.
+
+    pts leaves are [D, .., N], flags [1, .., N], pos [.., K] (int, already
+    clipped to [0, N-1]).  Equivalent to gathering from the full
+    `_segmented_add_scan` output, but the chunk-prefix fold is paid only at
+    the K queried positions instead of all N: the level-1 chunked scan
+    yields within-chunk inclusive values, the recursive chunk-total scan
+    yields exclusive chunk prefixes, and ONE [.., K]-batch combine joins
+    the two at the queries.  For Pippenger (K = n_buckets << N per window)
+    this halves the MSM's point-add count back to the classic
+    one-add-per-point-per-window cost (reference work shape:
+    src/curve/curve_msm.rs:102-157; here dense and static-shaped)."""
+    from ..fields import pallas_kernels as pk
+
+    combine = _seg_combine(curve)
+    N = pts[0].shape[-1]
+    lead = pts[0].shape[1:-1]
+    total = N
+    for d in lead:
+        total *= d
+
+    def gather(t, idx):
+        return jnp.take_along_axis(
+            t, jnp.broadcast_to(idx[None], (t.shape[0], *idx.shape)), axis=-1)
+
+    if total < _CHUNK_MIN_TOTAL or N < 4:
+        out, fl = jax.lax.associative_scan(
+            combine, (pts, flags), axis=pts[0].ndim - 1)
+        return tuple(gather(t, pos) for t in out)
+
+    W = 1
+    while (W < _CHUNK_MAX_DEPTH and N % (W * 2) == 0
+           and total // (W * 2) >= _CHUNK_MIN_BATCH):
+        W *= 2
+    C = N // W
+
+    def to_scan(x):  # [.., N] -> [W, .., C]
+        x = x.reshape(*x.shape[:-1], C, W)
+        return jnp.moveaxis(x, -1, 0)
+
+    xs = (tuple(to_scan(t) for t in pts), to_scan(flags))
+    ident = cops.identity(curve, (*lead, C))
+    init = (ident, jnp.zeros((1, *lead, C), flags.dtype))
+
+    def step(state, x):
+        with pk.force_fusion(512):
+            new = combine(state, x)
+        return new, new
+
+    (tail_pts, tail_flags), (ys_pts, ys_flags) = jax.lax.scan(step, init, xs)
+
+    # exclusive chunk prefixes from the recursive chunk-total scan
+    rec_pts, rec_flags = _seg_scan_pair(curve, tail_pts, tail_flags)
+    ident1 = cops.identity(curve, (*lead, 1))
+    excl_pts = tuple(jnp.concatenate([i1, t[..., :-1]], axis=-1)
+                     for i1, t in zip(ident1, rec_pts))
+    excl_flags = jnp.concatenate(
+        [jnp.zeros((1, *lead, 1), flags.dtype), rec_flags[..., :-1]], axis=-1)
+
+    def to_flat(t):  # [W, .., C] -> [.., N] in original element order
+        t = jnp.moveaxis(t, 0, -1)          # [.., C, W]; element n = i*W + j
+        return t.reshape(*t.shape[:-2], N)
+
+    incl_pts = tuple(to_flat(t) for t in ys_pts)
+    incl_flags = to_flat(ys_flags)
+
+    chunk_idx = pos // W
+    g_incl = tuple(gather(t, pos) for t in incl_pts)
+    g_incl_flags = gather(incl_flags, pos)
+    g_excl = tuple(gather(t, chunk_idx) for t in excl_pts)
+    g_excl_flags = gather(excl_flags, chunk_idx)
+    with pk.force_fusion(512):
+        out_pts, _ = combine((g_excl, g_excl_flags), (g_incl, g_incl_flags))
+    return out_pts
+
+
 def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:
     """Sum a batch of points [.., N] down to a single point via halving."""
     X, Y, Z = pts
@@ -198,7 +276,6 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         first = jnp.concatenate([
             jnp.ones((G, 1), jnp.int32),
             (d_sorted[:, 1:] != d_sorted[:, :-1]).astype(jnp.int32)], axis=-1)
-        scanned = _segmented_add_scan(curve, pts, first)
         # last position of each bucket's run, per window row
         pos = jax.vmap(lambda row: jnp.searchsorted(
             row, bucket_ids, side='right'))(d_sorted) - 1      # [G, B]
@@ -206,8 +283,8 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
             row, bucket_ids, side='left'))(d_sorted)           # [G, B]
         present = lo <= pos
         ident = cops.identity(curve, (G, n_buckets))
-        gathered = tuple(jnp.take_along_axis(
-            t, jnp.clip(pos, 0, N - 1)[None], axis=-1) for t in scanned)
+        gathered = _seg_scan_gather(curve, pts, first[None],
+                                    jnp.clip(pos, 0, N - 1))
         buckets = cops.select(present, gathered, ident)
         # zero out bucket 0 (digit 0 contributes nothing)
         buckets = cops.select(bucket_ids[None, :] > 0, buckets, ident)

@@ -166,3 +166,76 @@ def test_chunked_segmented_scan_matches_associative(monkeypatch):
         list(fops.to_ints(curve.base, xb))
     assert list(fops.to_ints(curve.base, ya)) == \
         list(fops.to_ints(curve.base, yb))
+
+
+def test_seg_scan_gather_matches_full_scan(monkeypatch):
+    """_seg_scan_gather (scan values at query positions only -- what
+    restores classic Pippenger's one-add-per-point-per-window cost) must
+    agree with gathering from the full segmented scan, on both the chunked
+    and the associative base-case paths."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plonky_tpu.curves import TWEEDLEDEE as curve, host as chost
+    from plonky_tpu.curves import msm as cmsm, ops as cops
+    from plonky_tpu.fields import ops as fops
+
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_TOTAL", 16)
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_BATCH", 8)
+
+    rng = np.random.default_rng(23)
+    G, N, K = 2, 64, 9
+    g = chost.generator(curve)
+    pts_h, cur = [], chost.mul(g, 5)
+    for _ in range(G * N):
+        pts_h.append(cur)
+        cur = chost.add(cur, g)
+    xs = fops.from_ints(curve.base, [p.x for p in pts_h]).reshape(-1, G, N)
+    ys = fops.from_ints(curve.base, [p.y for p in pts_h]).reshape(-1, G, N)
+    P = cops.from_affine(curve, xs, ys, jnp.zeros((G, N), bool))
+    flags = jnp.asarray((rng.random((1, G, N)) < 0.2).astype(np.int32))
+    flags = flags.at[:, :, 0].set(1)
+    pos = jnp.asarray(np.sort(rng.integers(0, N, (G, K))).astype(np.int32))
+
+    got = jax.jit(lambda P_, f, q: cmsm._seg_scan_gather(curve, P_, f, q))(
+        P, flags, pos)
+    full, _ = jax.jit(lambda P_, f: cmsm._seg_scan_pair(curve, P_, f))(
+        P, flags)
+    want = tuple(jnp.take_along_axis(
+        t, jnp.broadcast_to(pos[None], (t.shape[0], G, K)), axis=-1)
+        for t in full)
+
+    xa, ya, za = jax.jit(lambda q: cops.to_affine(curve, q))(got)
+    xb, yb, zb = jax.jit(lambda q: cops.to_affine(curve, q))(want)
+    assert np.array_equal(np.asarray(za), np.asarray(zb))
+    assert np.array_equal(np.asarray(xa), np.asarray(xb))
+    assert np.array_equal(np.asarray(ya), np.asarray(yb))
+
+
+def test_msm_chunked_gather_path(monkeypatch):
+    """MSM correctness with chunk constants shrunk so the chunked
+    _seg_scan_gather path (not the associative base case) is exercised."""
+    from plonky_tpu.curves import msm as cmsm
+
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_TOTAL", 16)
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_BATCH", 8)
+
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    rng = np.random.default_rng(77)
+    n = 64
+    pts = [chost.mul(g, int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    scalars = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+               for _ in range(n)]
+    expected = chost.zero_point(curve)
+    for p, s in zip(pts, scalars):
+        expected = chost.add(expected, chost.mul(p, s))
+
+    import jax
+    d = points_to_device(curve, pts)
+    s = fops.from_ints(curve.scalar, scalars)
+    got = device_to_points(
+        curve, jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=8,
+                                             window_group=4))(d, s))
+    assert got == expected
