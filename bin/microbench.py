@@ -48,7 +48,7 @@ def _sync(arr):
     full readbacks go through the slow tunnel and contaminate timings."""
     small = arr
     while hasattr(small, "ndim") and small.ndim > 0:
-        small = small[:1]
+        small = small[0]      # [0], NOT [:1]: must REDUCE ndim to terminate
     np.asarray(small)
 
 

@@ -53,11 +53,11 @@ class BatchAlgebra:
         self.batch = batch
 
     def wrap(self, arr):
-        return (arr, 255)
+        return (arr, fops.WORK_DB)
 
     def unwrap(self, v):
         arr, db = v
-        if db > 255:
+        if db > fops.WORK_DB:
             from ..fields.ops import _value_bound_of_digits, reduce_work
             arr = reduce_work(self.spec, arr, db,
                               _value_bound_of_digits(arr.shape[0], db))
@@ -74,7 +74,8 @@ class BatchAlgebra:
                 fops.sub_bound(a[1], b[1]))
 
     def mul(self, a, b):
-        return (fops.product_sum(self.spec, [(a[0], a[1], b[0], b[1], 1)]), 255)
+        return (fops.product_sum(self.spec, [(a[0], a[1], b[0], b[1], 1)]),
+                fops.WORK_DB)
 
     def mul_const(self, c: int, a):
         c = c % self.spec.p

@@ -68,27 +68,38 @@ def _seg_combine(curve: CurveSpec):
     return combine
 
 
-def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
-    """Inclusive segmented scan of (point, first-flag) pairs, chunked.
+def _chunk_width(N: int, total: int) -> int:
+    """Largest power-of-two chunk width W per the shape policy; 1 means
+    chunking is not applicable (odd N, tiny batch) and callers must fall
+    back to the associative form (recursing at W == 1 would not shrink)."""
+    W = 1
+    while (W < _CHUNK_MAX_DEPTH and N % (W * 2) == 0
+           and total // (W * 2) >= _CHUNK_MIN_BATCH):
+        W *= 2
+    return W
 
-    `jax.lax.associative_scan` is work-efficient but instantiates the
-    point-add combiner at ~2*log2(N) DISTINCT shrinking shapes -- each a
-    separate fused-kernel trace and Mosaic compile, which dominated MSM
-    build times.  Here the axis is split into C contiguous chunks of W:
+
+def _chunked_scan_parts(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
+    """Shared core of the chunked segmented scan.  The axis is split into C
+    contiguous chunks of W:
 
       1. a lax.scan over the W within-chunk positions (body traced ONCE,
          one fixed kernel shape [.., C]) yields per-chunk inclusive scans
          and chunk totals,
       2. the C chunk totals are scanned recursively (base case: the
          associative form at sizes small enough for the compact XLA path),
-      3. one full-width combine folds each chunk's exclusive prefix into
-         its elements -- valid because the segmented-scan operator is
-         associative, with flags deciding whether the prefix crosses a
-         segment boundary.
+      3. the caller folds each chunk's exclusive prefix into its elements
+         (valid because the segmented-scan operator is associative, with
+         flags deciding whether the prefix crosses a segment boundary) --
+         either full-width (`_seg_scan_pair`) or only at queried positions
+         (`_seg_scan_gather`).
 
-    Work is ~2N combines (same as the associative form) in ~3 kernel
-    shapes regardless of N, with sequential depth W <= 64.
-    """
+    Returns (incl_pts, incl_flags, excl_pts, excl_flags, W) with incl_* the
+    within-chunk inclusive values in ORIGINAL element order [.., N] and
+    excl_* the exclusive chunk prefixes [.., C]; or None when chunking is
+    not applicable and the caller must use jax.lax.associative_scan.
+    Work is ~2N combines in ~3 kernel shapes regardless of N, with
+    sequential depth W <= _CHUNK_MAX_DEPTH."""
     from ..fields import pallas_kernels as pk
 
     combine = _seg_combine(curve)
@@ -98,22 +109,19 @@ def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
     for d in lead:
         total *= d
     if total < _CHUNK_MIN_TOTAL or N < 4:
-        out, fl = jax.lax.associative_scan(
-            combine, (pts, flags), axis=pts[0].ndim - 1)
-        return out, fl
-
-    W = 1
-    while (W < _CHUNK_MAX_DEPTH and N % (W * 2) == 0
-           and total // (W * 2) >= _CHUNK_MIN_BATCH):
-        W *= 2
+        return None
+    W = _chunk_width(N, total)
+    if W == 1:
+        return None
     C = N // W
 
     def to_scan(x):  # [.., N] -> [W, .., C]
         x = x.reshape(*x.shape[:-1], C, W)
         return jnp.moveaxis(x, -1, 0)
 
-    def from_scan(x):  # [W, .., C] -> [.., C, W]
-        return jnp.moveaxis(x, 0, -1)
+    def to_flat(x):  # [W, .., C] -> [.., N] in original element order
+        x = jnp.moveaxis(x, 0, -1)          # [.., C, W]; element n = i*W + j
+        return x.reshape(*x.shape[:-2], N)
 
     xs = (tuple(to_scan(t) for t in pts), to_scan(flags))
     ident = cops.identity(curve, (*lead, C))
@@ -134,12 +142,38 @@ def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
     excl_flags = jnp.concatenate(
         [jnp.zeros((1, *lead, 1), flags.dtype), rec_flags[..., :-1]], axis=-1)
 
-    incl_pts = tuple(from_scan(t) for t in ys_pts)     # [.., C, W]
-    incl_flags = from_scan(ys_flags)
+    incl_pts = tuple(to_flat(t) for t in ys_pts)
+    incl_flags = to_flat(ys_flags)
+    return incl_pts, incl_flags, excl_pts, excl_flags, W
+
+
+def _seg_scan_pair(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray):
+    """Inclusive segmented scan of (point, first-flag) pairs, chunked.
+
+    `jax.lax.associative_scan` is work-efficient but instantiates the
+    point-add combiner at ~2*log2(N) DISTINCT shrinking shapes -- each a
+    separate fused-kernel trace and Mosaic compile, which dominated MSM
+    build times.  The chunked form (`_chunked_scan_parts`) keeps the kernel
+    count constant."""
+    from ..fields import pallas_kernels as pk
+
+    combine = _seg_combine(curve)
+    parts = _chunked_scan_parts(curve, pts, flags)
+    if parts is None:
+        out, fl = jax.lax.associative_scan(
+            combine, (pts, flags), axis=pts[0].ndim - 1)
+        return out, fl
+    incl_pts, incl_flags, excl_pts, excl_flags, W = parts
+    N = pts[0].shape[-1]
+    C = N // W
+
+    def to_cw(x):  # [.., N] -> [.., C, W]
+        return x.reshape(*x.shape[:-1], C, W)
+
     with pk.force_fusion(512):
         out_pts, out_flags = combine(
             (tuple(t[..., None] for t in excl_pts), excl_flags[..., None]),
-            (incl_pts, incl_flags))
+            (tuple(to_cw(t) for t in incl_pts), to_cw(incl_flags)))
     out_pts = tuple(t.reshape(*t.shape[:-2], N) for t in out_pts)
     out_flags = out_flags.reshape(*out_flags.shape[:-2], N)
     return out_pts, out_flags
@@ -162,56 +196,17 @@ def _seg_scan_gather(curve: CurveSpec, pts: cops.Point, flags: jnp.ndarray,
     from ..fields import pallas_kernels as pk
 
     combine = _seg_combine(curve)
-    N = pts[0].shape[-1]
-    lead = pts[0].shape[1:-1]
-    total = N
-    for d in lead:
-        total *= d
 
     def gather(t, idx):
         return jnp.take_along_axis(
             t, jnp.broadcast_to(idx[None], (t.shape[0], *idx.shape)), axis=-1)
 
-    if total < _CHUNK_MIN_TOTAL or N < 4:
+    parts = _chunked_scan_parts(curve, pts, flags)
+    if parts is None:
         out, fl = jax.lax.associative_scan(
             combine, (pts, flags), axis=pts[0].ndim - 1)
         return tuple(gather(t, pos) for t in out)
-
-    W = 1
-    while (W < _CHUNK_MAX_DEPTH and N % (W * 2) == 0
-           and total // (W * 2) >= _CHUNK_MIN_BATCH):
-        W *= 2
-    C = N // W
-
-    def to_scan(x):  # [.., N] -> [W, .., C]
-        x = x.reshape(*x.shape[:-1], C, W)
-        return jnp.moveaxis(x, -1, 0)
-
-    xs = (tuple(to_scan(t) for t in pts), to_scan(flags))
-    ident = cops.identity(curve, (*lead, C))
-    init = (ident, jnp.zeros((1, *lead, C), flags.dtype))
-
-    def step(state, x):
-        with pk.force_fusion(512):
-            new = combine(state, x)
-        return new, new
-
-    (tail_pts, tail_flags), (ys_pts, ys_flags) = jax.lax.scan(step, init, xs)
-
-    # exclusive chunk prefixes from the recursive chunk-total scan
-    rec_pts, rec_flags = _seg_scan_pair(curve, tail_pts, tail_flags)
-    ident1 = cops.identity(curve, (*lead, 1))
-    excl_pts = tuple(jnp.concatenate([i1, t[..., :-1]], axis=-1)
-                     for i1, t in zip(ident1, rec_pts))
-    excl_flags = jnp.concatenate(
-        [jnp.zeros((1, *lead, 1), flags.dtype), rec_flags[..., :-1]], axis=-1)
-
-    def to_flat(t):  # [W, .., C] -> [.., N] in original element order
-        t = jnp.moveaxis(t, 0, -1)          # [.., C, W]; element n = i*W + j
-        return t.reshape(*t.shape[:-2], N)
-
-    incl_pts = tuple(to_flat(t) for t in ys_pts)
-    incl_flags = to_flat(ys_flags)
+    incl_pts, incl_flags, excl_pts, excl_flags, W = parts
 
     chunk_idx = pos // W
     g_incl = tuple(gather(t, pos) for t in incl_pts)

@@ -51,7 +51,7 @@ class _LV:
     work happens inside fused product_sum reductions."""
     __slots__ = ("arr", "db", "f")
 
-    def __init__(self, f, arr, db=255):
+    def __init__(self, f, arr, db=fops.WORK_DB):
         self.f = f
         self.arr = arr
         self.db = db

@@ -36,6 +36,15 @@ from .spec import DIGIT_BASE, DIGIT_BITS, DIGIT_MASK, FieldSpec
 
 INT32_SAFE = (1 << 31) - 1
 
+# Digit bound of the LOOSE working form.  Chained device ops keep digits in
+# [0, 511] instead of fully carrying to [0, 255]: the exact carry-lookahead
+# (two log-depth cummax scans, the most expensive part of every reduction)
+# then runs only at observation boundaries (canonicalize), not between
+# chained muls/adds.  511 is the largest bound that keeps the digit
+# convolution f32-exact: min(La, Lb) * 511 * 511 < 2^24 for all supported
+# field sizes (D <= 50 for BLS12-377's 377-bit base field).
+WORK_DB = 2 * DIGIT_MASK + 1
+
 
 def _pad_len(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """Zero-pad (or keep) the digit axis to length n."""
@@ -142,10 +151,14 @@ def conv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     TPU: f32 Pallas kernel (exact under the f32 limit; int32 multiplies are
     emulated on the VPU and ~100x slower).  Fallback (CPU, tiny or
-    lane-misaligned batches): ONE grouped 1-D convolution primitive
-    (feature_group_count = batch), keeping traced programs small -- a
-    shift-add loop would add O(D) ops to the jaxpr per field multiply and
-    make tracing the protocol graphs pathologically slow.
+    lane-misaligned TPU batches): pad + constant-index gather + one einsum
+    contraction over the Lb axis -- 4 ops in the traced graph (a shift-add
+    loop would add O(D) ops per field multiply and make tracing the
+    protocol graphs pathologically slow) and O(B*La*Lb) work.  A grouped
+    1-D convolution (feature_group_count = B) is NOT safe here: XLA:CPU
+    expands grouped convs to a dense conv, i.e. O(B^2*La*Lb) work -- at
+    B = 8192 that is ~8e13 MACs, hours of wall-clock for ONE field mul
+    (diagnosed 2026-08-19; the old test sizes' B <= 512 hid it).
     """
     La, Lb = a.shape[0], b.shape[0]
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
@@ -163,60 +176,81 @@ def conv(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if pk.pallas_conv_applicable(B):
             out = pk.conv_pallas(a.reshape(La, B), b.reshape(Lb, B))
             return out.reshape(La + Lb - 1, *batch)
-        # Small/misaligned batches: ONE grouped f32 conv primitive.  f32
-        # keeps the multiplies off the emulated int32 VPU path and is exact
-        # under the same F32_EXACT bound the callers enforce on TPU;
-        # HIGHEST precision forbids a bf16 rewrite.  (An unrolled shift-add
-        # here inlined ~2e3 ops PER FIELD MULTIPLY into the traced graph --
-        # big programs like the MSM took an hour to trace+lower.)
-        lhs = a.reshape(La, B).T[None].astype(jnp.float32)
-        rhs = b.reshape(Lb, B).T[:, None, ::-1].astype(jnp.float32)
-        out = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1,), padding=[(Lb - 1, Lb - 1)],
-            feature_group_count=B, precision=jax.lax.Precision.HIGHEST)
-        return out[0].T.reshape(La + Lb - 1, *batch).astype(jnp.int32)
-    lhs = a.reshape(La, B).T[None]             # [1, B, La]
-    rhs = b.reshape(Lb, B).T[:, None, ::-1]    # [B, 1, Lb] (flip: conv, not corr)
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(Lb - 1, Lb - 1)],
-        feature_group_count=B, preferred_element_type=jnp.int32)
-    return out[0].T.reshape(La + Lb - 1, *batch)
+        # Small/misaligned TPU batches: f32 keeps the multiplies off the
+        # emulated int32 VPU path and is exact under the same F32_EXACT
+        # bound the callers enforce; HIGHEST forbids a bf16 rewrite.
+        out = _conv_gather(a.reshape(La, B), b.reshape(Lb, B), f32=True)
+        return out.reshape(La + Lb - 1, *batch)
+    out = _conv_gather(a.reshape(La, B), b.reshape(Lb, B), f32=False)
+    return out.reshape(La + Lb - 1, *batch)
+
+
+def _conv_gather(a: jnp.ndarray, b: jnp.ndarray, f32: bool) -> jnp.ndarray:
+    """Full conv of [La, B] x [Lb, B] as pad + constant-index gather + one
+    einsum contraction (4 graph ops, O(B*La*Lb) work): build
+    A[j, k] = a[k - j] (zero out of range) and contract sum_j A[j,k]*b[j]."""
+    if a.shape[0] < b.shape[0]:
+        a, b = b, a   # gather/contract over the shorter axis
+    La, Lb = a.shape[0], b.shape[0]
+    Lout = La + Lb - 1
+    a_pad = jnp.pad(a, ((Lb - 1, Lb - 1), (0, 0)))
+    idx = ((Lb - 1) + jnp.arange(Lout)[None, :]
+           - jnp.arange(Lb)[:, None]).reshape(-1)     # [Lb*Lout]
+    A = a_pad[idx].reshape(Lb, Lout, a.shape[1])
+    if f32:
+        return jnp.einsum(
+            'jkn,jn->kn', A.astype(jnp.float32), b.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    return jnp.einsum('jkn,jn->kn', A, b)
 
 
 def _value_bound_of_digits(L: int, digit_bound: int) -> int:
     return ((1 << (DIGIT_BITS * L)) - 1) // DIGIT_MASK * digit_bound + 1
 
 
-def _fold_value_bound(value_bound: int, cap: int, k: int, p: int) -> int:
-    """Exact (exclusive) bound on lo + fold(hi) where v = lo + hi*cap < vb.
+def _fold_value_bound(value_bound: int, cap: int, k: int, p: int,
+                      db_hi: int = DIGIT_MASK,
+                      db_lo: int = DIGIT_MASK) -> int:
+    """Exact (exclusive) bound on lo + fold(hi) where v = lo + hi*cap < vb,
+    lo is the value of the low D digits and hi the value of the k high
+    digits.
 
-    lo <= min(cap-1, V - hi*cap); fold(hi) <= digitsum(hi)*p with
-    digitsum(hi) <= min(255*k, hi).  Maximize over the critical hi values.
+    With digit bounds db_lo/db_hi (loose digits may exceed 255, so lo may
+    exceed cap-1): lo <= min(lo_max, V - hi*cap) where
+    lo_max = (cap-1)/255 * db_lo; fold(hi) <= digitsum(hi)*p with
+    digitsum(hi) <= min(db_hi*k, hi).  Maximize over the critical hi values.
     """
     V = value_bound - 1
-    H = V // cap
-    hi1 = max(0, (V - (cap - 1)) // cap)   # where the lo-clamp ends
-    candidates = {0, 1, hi1, hi1 + 1, DIGIT_MASK * k, H}
+    H = V // cap                          # hi*cap <= v  (lo >= 0)
+    lo_max = (cap - 1) // DIGIT_MASK * db_lo
+    hi1 = max(0, (V - lo_max) // cap)     # where the lo-clamp ends
+    candidates = {0, 1, hi1, hi1 + 1, db_hi * k, H}
     best = 0
     for hi in candidates:
         hi = max(0, min(hi, H))
-        lo = min(cap - 1, V - hi * cap)
-        best = max(best, lo + min(DIGIT_MASK * k, hi) * p)
+        lo = min(lo_max, V - hi * cap)
+        best = max(best, lo + min(db_hi * k, hi) * p)
     return best + 1
 
 
 def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
-                value_bound: int, _in_kernel: bool = False,
-                _fold_rows_arr=None) -> jnp.ndarray:
-    """Reduce a bounded digit array to the working form:
+                value_bound: int, loose: bool = True,
+                _in_kernel: bool = False, _fold_rows_arr=None) -> jnp.ndarray:
+    """Reduce a bounded digit array to the working form, value preserved
+    mod p.
 
-    D = spec.n_digits digits, each in [0, 255], value < 256^D, value preserved
-    mod p.  Static-bound-driven loop; terminates in <= 4 iterations thanks to
-    the 2-digit headroom in D.
+    loose=True (chained device ops): D digits, each in [0, WORK_DB=511],
+    value < ~2*256^D.  Only cheap loose carry rounds and fold matmuls are
+    used -- NO exact carry-lookahead (the two log-depth cummax scans that
+    dominate the exact path run only at observation boundaries).
 
-    On TPU with a lane-aligned batch, the whole loop runs as ONE fused
-    Pallas kernel in VMEM (the XLA formulation is HBM-traffic bound);
-    `_in_kernel` marks the re-trace of this same body inside that kernel.
+    loose=False (boundaries, e.g. canonicalize entry): D digits in
+    [0, 255], value < 256^D -- the exact form the Barrett reduction needs.
+
+    Static-bound-driven loop.  On TPU with a lane-aligned batch, the whole
+    loop runs as ONE fused Pallas kernel in VMEM (the XLA formulation is
+    HBM-traffic bound); `_in_kernel` marks the re-trace of this same body
+    inside that kernel.
     """
     D = spec.n_digits
     if not _in_kernel and _on_tpu():
@@ -225,15 +259,88 @@ def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
         for d in x.shape[1:]:
             B *= d
         if not pk.in_kernel() and pk.pallas_conv_applicable(B):
-            return pk.reduce_work_pallas(spec, x, digit_bound, value_bound)
+            return pk.reduce_work_pallas(spec, x, digit_bound, value_bound,
+                                         loose)
     fold_rows = spec.fold_rows  # numpy [D+4, D]
     cap = 1 << (DIGIT_BITS * D)
+    # The fold einsum accumulates k products each <= db*255: f32-exact
+    # limit on TPU, int32 elsewhere.
+    fold_cap = conv_safe_limit()
+
+    def fold(x, k, hi_db):
+        assert k <= fold_rows.shape[0], (k, D)
+        hi = x[D:]
+        if _fold_rows_arr is not None:
+            rows = _fold_rows_arr[:k]  # [k, D]
+        else:
+            from .pallas_kernels import kernel_const
+            rows = kernel_const(f"fold:{spec.name}:{k}",
+                                lambda k=k: fold_rows[:k])
+        if _on_tpu():
+            # f32 matmul (MXU-friendly; int32 muls are emulated on TPU).
+            # Exact: the caller's carry rounds keep k*hi_db*255 < fold_cap,
+            # and HIGHEST forces true-f32 accumulation -- the DEFAULT
+            # precision feeds the MXU bf16 inputs, which silently rounds
+            # digits above 256 (loose digits reach 511).
+            folded = jnp.einsum('k...,kd->d...', hi.astype(jnp.float32),
+                                rows.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST
+                                ).astype(jnp.int32)
+        else:
+            folded = jnp.einsum('k...,kd->d...', hi, rows)
+        return x[:D] + folded
+
+    if loose:
+        for _ in range(24):
+            L = x.shape[0]
+            k = max(0, L - D)
+            # Cheap carry rounds: digits under WORK_DB and fold exact.
+            while digit_bound > WORK_DB or (
+                    k and k * digit_bound * DIGIT_MASK + digit_bound > fold_cap):
+                x = _pad_len(x, max(
+                    L, -(-((value_bound - 1).bit_length()) // DIGIT_BITS)))
+                x = _loose_carry_round(x)
+                digit_bound = DIGIT_MASK + digit_bound // DIGIT_BASE
+                L = x.shape[0]
+                k = max(0, L - D)
+            # Rows above the value-bound length are provably zero
+            # (non-negative digits are each bounded by the total value).
+            need = max(1, -(-((value_bound - 1).bit_length()) // DIGIT_BITS))
+            if need < L:
+                x = x[:need]
+                L = need
+                k = max(0, L - D)
+            if k == 0:
+                return _pad_len(x, D)
+            if value_bound <= 2 * cap:
+                # Terminal: value < 2*cap, so after ONE exact normalize the
+                # top digit is <= 1 and one fold lands digits at <= 510.
+                # This is the ONLY carry-lookahead in a loose reduction
+                # (the exact path runs one per iteration).
+                x, value_bound = normalize(x, digit_bound, value_bound)
+                if x.shape[0] <= D:
+                    return _pad_len(x, D)
+                assert x.shape[0] == D + 1
+                return fold(x, 1, 1)
+            # Generic fold with value-tightened per-row hi bounds: row D+j
+            # holds at most (vb-1) >> (8*(D+j)) whatever the digit bound.
+            hi_bounds = [min(digit_bound,
+                             (value_bound - 1) >> (DIGIT_BITS * (D + j)))
+                         for j in range(k)]
+            x = fold(x, k, digit_bound)
+            digitsum = sum(hi_bounds)
+            value_bound = min(
+                _fold_value_bound(value_bound, cap, k, spec.p,
+                                  db_hi=digit_bound, db_lo=digit_bound),
+                (cap - 1) // DIGIT_MASK * digit_bound + digitsum * spec.p + 1)
+            digit_bound = digit_bound + digitsum * DIGIT_MASK
+        raise AssertionError("reduce_work(loose) did not converge (bound bug)")
 
     for _ in range(8):
         # Make the fold matmul overflow-safe, then normalize exactly.
         L = x.shape[0]
         k = max(0, L - D)
-        while k and k * digit_bound * DIGIT_MASK + digit_bound > INT32_SAFE:
+        while k and k * digit_bound * DIGIT_MASK + digit_bound > fold_cap:
             # One cheap loose round drops digit_bound by ~256x.
             x = _pad_len(x, max(L, -(-((value_bound - 1).bit_length()) // DIGIT_BITS)))
             x = _loose_carry_round(x)
@@ -249,33 +356,23 @@ def reduce_work(spec: FieldSpec, x: jnp.ndarray, digit_bound: int,
 
         # Fold digits at positions >= D back into the low D digits.
         k = L - D
-        assert k <= fold_rows.shape[0], (L, D)
-        hi = x[D:]
-        if _fold_rows_arr is not None:
-            rows = _fold_rows_arr[:k]  # [k, D]
-        else:
-            from .pallas_kernels import kernel_const
-            rows = kernel_const(f"fold:{spec.name}:{k}",
-                                lambda k=k: fold_rows[:k])
-        if _on_tpu():
-            # f32 matmul (MXU-friendly; int32 muls are emulated on TPU).
-            # Exact: digits <= 255 after normalize, k <= D+4, so sums are
-            # < (D+4)*255^2 < 2^24.
-            folded = jnp.einsum('k...,kd->d...', hi.astype(jnp.float32),
-                                rows.astype(jnp.float32)).astype(jnp.int32)
-        else:
-            folded = jnp.einsum('k...,kd->d...', hi, rows)
-        x = x[:D] + folded
+        x = fold(x, k, digit_bound)
         digit_bound = DIGIT_MASK + k * DIGIT_MASK * DIGIT_MASK
         value_bound = _fold_value_bound(value_bound, cap, k, spec.p)
     raise AssertionError("reduce_work did not converge (bound bug)")
 
 
 # ---------------------------------------------------------------------------
-# Public field ops.  Inputs/outputs are in the WORKING form: [D, *batch]
-# int32 digits in [0,255], value < 256^D, congruent to the field element.
-# (Not necessarily < p; use canonicalize() at observation boundaries.)
+# Public field ops.  Inputs/outputs are in the LOOSE working form:
+# [D, *batch] int32 digits in [0, WORK_DB=511], congruent to the field
+# element mod p (value < ~2*256^D, not necessarily < p; use canonicalize()
+# at observation boundaries, which first restores the exact form).
 # ---------------------------------------------------------------------------
+
+
+def _work_vb(spec: FieldSpec) -> int:
+    """Exclusive value bound of the loose working form."""
+    return _value_bound_of_digits(spec.n_digits, WORK_DB)
 
 def _add_one_lsd(x: jnp.ndarray) -> jnp.ndarray:
     """x with 1 added to the least-significant digit row (slice+concat
@@ -289,25 +386,19 @@ def zeros(spec: FieldSpec, batch=()) -> jnp.ndarray:
 
 
 def add(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    D = spec.n_digits
-    cap = 1 << (DIGIT_BITS * D)
-    return reduce_work(spec, a + b, 2 * DIGIT_MASK, 2 * cap - 1)
+    return reduce_work(spec, a + b, 2 * WORK_DB, 2 * (_work_vb(spec) - 1) + 1)
 
 
 def sub(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a - b via the borrow-free complement trick:
-
-    a + (2^(8D)-1 - b) + (k_c p - 2^(8D)) + 1  ==  a - b + k_c p  (mod p).
-    """
+    """a - b via the borrow-free complement at width 2^cb >= WORK_DB+1 plus
+    an additive mod-p fixup constant (see sub_raw), so everything stays
+    non-negative int32 for loose-form inputs."""
+    s = sub_raw(spec, a, b, WORK_DB)
+    cb = max(8, WORK_DB.bit_length())
     D = spec.n_digits
-    cap = 1 << (DIGIT_BITS * D)
-    s = a + (DIGIT_MASK - b)
-    from .pallas_kernels import kernel_const
-    pad = kernel_const(f"subpad:{spec.name}", lambda: np.asarray(spec.sub_pad))
-    s = s + pad.reshape((D,) + (1,) * (s.ndim - 1))
-    s = _add_one_lsd(s)
-    k_c = -(-cap // spec.p)
-    return reduce_work(spec, s, 3 * DIGIT_MASK + 1, cap + k_c * spec.p)
+    comp_vb = ((1 << cb) - 1) * (((1 << (DIGIT_BITS * D)) - 1) // DIGIT_MASK)
+    vb = (_work_vb(spec) - 1) + comp_vb + spec.p + 1
+    return reduce_work(spec, s, sub_bound(WORK_DB, WORK_DB), vb)
 
 
 def neg(spec: FieldSpec, b: jnp.ndarray) -> jnp.ndarray:
@@ -325,9 +416,9 @@ def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 def _mul_body(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     D = spec.n_digits
-    cap = 1 << (DIGIT_BITS * D)
-    c = conv(a, b)  # [2D-1], digit bound D*255^2 ~ 2^22
-    return reduce_work(spec, c, D * DIGIT_MASK * DIGIT_MASK, cap * cap)
+    c = conv(a, b)  # [2D-1], digit bound D*511^2 < 2^24 (f32-exact)
+    vb = _work_vb(spec)
+    return reduce_work(spec, c, D * WORK_DB * WORK_DB, vb * vb)
 
 
 def fused_elementwise(spec: FieldSpec, body, arrays, n_outs: int = 1,
@@ -357,9 +448,8 @@ def square(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 def mul_small(spec: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
     """Multiply by a small non-negative python int (c < 2^20)."""
     assert 0 <= c < (1 << 20)
-    D = spec.n_digits
-    cap = 1 << (DIGIT_BITS * D)
-    return reduce_work(spec, a * c, DIGIT_MASK * c, cap * c + 1)
+    return reduce_work(spec, a * c, WORK_DB * c,
+                       (_work_vb(spec) - 1) * c + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -482,9 +572,9 @@ def product_sum(spec: FieldSpec, terms) -> jnp.ndarray:
 
 
 def mul_loose(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
-              da: int = DIGIT_MASK, db: int = DIGIT_MASK) -> jnp.ndarray:
-    """Multiply two loose-digit values; output is in the canonical working
-    form (digits <= 255, value < 256^D)."""
+              da: int = WORK_DB, db: int = WORK_DB) -> jnp.ndarray:
+    """Multiply two loose-digit values; output is in the loose working
+    form (digits <= WORK_DB, length D)."""
     return product_sum(spec, [(a, da, b, db, 1)])
 
 
@@ -495,10 +585,9 @@ def sum_reduce(spec: FieldSpec, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     into the batch dims (axis=0 is the first batch axis, i.e. array axis 1)."""
     assert axis >= 0
     n = x.shape[axis + 1]
-    assert n * DIGIT_MASK < INT32_SAFE
+    assert n * WORK_DB < INT32_SAFE
     s = jnp.sum(x, axis=axis + 1)
-    cap = 1 << (DIGIT_BITS * spec.n_digits)
-    return reduce_work(spec, s, n * DIGIT_MASK, n * (cap - 1) + 1)
+    return reduce_work(spec, s, n * WORK_DB, n * (_work_vb(spec) - 1) + 1)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -588,10 +677,13 @@ def kth_root_exponent(spec: FieldSpec, k: int) -> int:
 def canonicalize(spec: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     """Working form -> canonical digits: value < p, shape [D, *batch].
 
-    Exact Barrett reduction, HAC Algorithm 14.42 in base 256.
+    First restores the EXACT working form (digits <= 255, value < 256^D)
+    from the loose form chained ops produce, then runs an exact Barrett
+    reduction, HAC Algorithm 14.42 in base 256.
     """
     D, k = spec.n_digits, spec.k_digits
     assert x.shape[0] == D
+    x = reduce_work(spec, x, WORK_DB, _work_vb(spec), loose=False)
     mu = jnp.asarray(spec.barrett_mu)          # [Lmu]
     p_k1 = jnp.asarray(spec.p_digits_k1)       # [k+1]
     Lmu = mu.shape[0]

@@ -86,7 +86,7 @@ def conv_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _reduce_work_call(spec, L: int, digit_bound: int, value_bound_key,
-                      N: int, tile: int):
+                      N: int, tile: int, loose: bool = True):
     """Fused reduction kernel: the entire reduce_work loop (loose carry
     rounds, carry-lookahead, fold matmuls) runs in VMEM, eliminating the
     HBM round trips that dominate the XLA formulation.  The control flow is
@@ -105,7 +105,8 @@ def _reduce_work_call(spec, L: int, digit_bound: int, value_bound_key,
 
     def kernel(x_ref, fold_ref, out_ref):
         out_ref[:] = ops.reduce_work(spec, x_ref[:], digit_bound,
-                                     value_bound, _in_kernel=True,
+                                     value_bound, loose=loose,
+                                     _in_kernel=True,
                                      _fold_rows_arr=fold_ref[:])
 
     return pl.pallas_call(
@@ -124,7 +125,7 @@ def _reduce_work_call(spec, L: int, digit_bound: int, value_bound_key,
 
 
 def reduce_work_pallas(spec, x: jnp.ndarray, digit_bound: int,
-                       value_bound: int) -> jnp.ndarray:
+                       value_bound: int, loose: bool = True) -> jnp.ndarray:
     """Flatten the batch and run the fused reduction kernel."""
     L = x.shape[0]
     batch = x.shape[1:]
@@ -134,7 +135,7 @@ def reduce_work_pallas(spec, x: jnp.ndarray, digit_bound: int,
     tile = min(N, 2048)
     vb_key = max(1, (value_bound - 1).bit_length())
     fold = jnp.asarray(spec.fold_rows)
-    out = _reduce_work_call(spec, L, digit_bound, vb_key, N, tile)(
+    out = _reduce_work_call(spec, L, digit_bound, vb_key, N, tile, loose)(
         x.reshape(L, N), fold)
     return out.reshape(spec.n_digits, *batch)
 

@@ -230,7 +230,7 @@ def _vanishing_body(sf, n, polys_, z_, l0_d, ln_d, xg_d,
         return fops.mul(sf, a, b)
 
     def cmul(col, a):  # runtime-column multiply
-        return fops.product_sum(sf, [(col, 255, a, 255, 1)])
+        return fops.product_sum(sf, [(col, fops.WORK_DB, a, fops.WORK_DB, 1)])
 
     z1_term = mulc(l0_d, fops.sub(sf, z4, one))
     t_shift = addc(gb1_col, addc(t4, cmul(beta_col, sh(t4))))
@@ -246,7 +246,8 @@ def _vanishing_body(sf, n, polys_, z_, l0_d, ln_d, xg_d,
     # fold with powers of alpha
     terms = [z1_term, shift_term, hs_term, last_term]
     ap = powers_dyn(sf, alpha_col, len(terms))
-    ps = [(ap[:, i:i + 1], 255, tm, 255, 1) for i, tm in enumerate(terms)]
+    ps = [(ap[:, i:i + 1], fops.WORK_DB, tm, fops.WORK_DB, 1)
+          for i, tm in enumerate(terms)]
     vals = fops.product_sum(sf, ps)
     return ifft(pre4, vals)
 

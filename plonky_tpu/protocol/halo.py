@@ -63,8 +63,8 @@ def _scale_add_device(spec, ca_d: jnp.ndarray, a: jnp.ndarray,
     ca_d/cb_d are [D, 1] device constants (runtime args so the per-round
     scalars don't force recompilation)."""
     return fops.product_sum(spec, [
-        (ca_d, 255, a, 255, 1),
-        (cb_d, 255, b, 255, 1),
+        (ca_d, fops.WORK_DB, a, fops.WORK_DB, 1),
+        (cb_d, fops.WORK_DB, b, fops.WORK_DB, 1),
     ])
 
 
@@ -232,7 +232,8 @@ def batch_opening_proof(
 def _reduce_polys_jit(sf, K: int):
     def body(polys, sc):
         return fops.product_sum(sf, [
-            (sc[:, i:i + 1], 255, polys[:, i], 255, 1) for i in range(K)])
+            (sc[:, i:i + 1], fops.WORK_DB, polys[:, i], fops.WORK_DB, 1)
+            for i in range(K)])
     return jax.jit(body)
 
 
@@ -244,7 +245,7 @@ def _build_halo_b_dyn(spec, degree, pts_cols, v_col):
     terms = []
     for j in range(P):
         pw = powers_dyn(spec, pts_cols[:, j:j + 1], degree)
-        terms.append((vp[:, j:j + 1], 255, pw, 255, 1))
+        terms.append((vp[:, j:j + 1], fops.WORK_DB, pw, fops.WORK_DB, 1))
     return fops.product_sum(spec, terms)
 
 

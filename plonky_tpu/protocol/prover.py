@@ -199,17 +199,17 @@ def _perm_poly_body(sf, wires, subgroup_d, sigma_d, beta_col, gamma_col):
         w = wires[:, j]
         k_j = fops.constant(sf, get_subgroup_shift(sf, j), (1,))
         kb = fops.mul(sf, k_j, beta_col)
-        s_id = fops.product_sum(sf, [(kb, 255, subgroup_d, 255, 1)])
+        s_id = fops.product_sum(sf, [(kb, fops.WORK_DB, subgroup_d, fops.WORK_DB, 1)])
         f_term = fops.product_sum(sf, [
-            (w, 255, None, 0, 1),
-            (s_id, 255, None, 0, 1),
-            (gamma_col, 255, None, 0, 1)])
+            (w, fops.WORK_DB, None, 0, 1),
+            (s_id, fops.WORK_DB, None, 0, 1),
+            (gamma_col, fops.WORK_DB, None, 0, 1)])
         s_sig = fops.product_sum(sf, [
-            (beta_col, 255, sigma_d[:, j], 255, 1)])
+            (beta_col, fops.WORK_DB, sigma_d[:, j], fops.WORK_DB, 1)])
         g_term = fops.product_sum(sf, [
-            (w, 255, None, 0, 1),
-            (s_sig, 255, None, 0, 1),
-            (gamma_col, 255, None, 0, 1)])
+            (w, fops.WORK_DB, None, 0, 1),
+            (s_sig, fops.WORK_DB, None, 0, 1),
+            (gamma_col, fops.WORK_DB, None, 0, 1)])
         num = f_term if num is None else fops.mul(sf, num, f_term)
         den = g_term if den is None else fops.mul(sf, den, g_term)
     ratio = fops.mul(sf, num, fops.inverse(sf, den))
@@ -282,7 +282,7 @@ def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
     xn_m1 = alg.wrap(xn_m1_arr)
     x_m1 = alg.sub(alg.wrap(sub8), one)
     denom = alg.mul_const(n, x_m1)
-    denom_inv = (fops.inverse(sf, alg.unwrap(denom)), 255)
+    denom_inv = (fops.inverse(sf, alg.unwrap(denom)), fops.WORK_DB)
     l1 = alg.mul(xn_m1, denom_inv)
     # fix index 0 (x = 1): L_1(1) = 1.  1/(x-1) is inverse(0)=0 there, so
     # l1[0] is 0; add indicator to make it 1.
@@ -299,10 +299,10 @@ def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
         w = alg.wrap(wires8[:, j])
         k_j = fops.constant(sf, get_subgroup_shift(sf, j), (1,))
         kb = fops.mul(sf, k_j, beta_col)
-        s_id = alg.mul((kb, 255), alg.wrap(sub8))
-        f_part = alg.add(w, alg.add(s_id, (gamma_col, 255)))
-        s_sig = alg.mul((beta_col, 255), alg.wrap(sigma8[:, j]))
-        g_part = alg.add(w, alg.add(s_sig, (gamma_col, 255)))
+        s_id = alg.mul((kb, fops.WORK_DB), alg.wrap(sub8))
+        f_part = alg.add(w, alg.add(s_id, (gamma_col, fops.WORK_DB)))
+        s_sig = alg.mul((beta_col, fops.WORK_DB), alg.wrap(sigma8[:, j]))
+        g_part = alg.add(w, alg.add(s_sig, (gamma_col, fops.WORK_DB)))
         f_prime = alg.mul(f_prime, f_part)
         g_prime = alg.mul(g_prime, g_part)
     v_shift = alg.sub(alg.mul(f_prime, alg.wrap(z8)),
@@ -311,7 +311,7 @@ def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
     terms = [z_term, v_shift] + constraint_terms
     # fold by powers of alpha: one fused product-sum
     ap = powers_dyn(sf, alpha_col, len(terms))   # [D, n_terms]
-    ps_terms = [(ap[:, i:i + 1], 255, arr, db, 1)
+    ps_terms = [(ap[:, i:i + 1], fops.WORK_DB, arr, db, 1)
                 for i, (arr, db) in enumerate(terms)]
     vanishing_values = fops.product_sum(sf, ps_terms)
     return ifft(circuit.fft_8n, vanishing_values)
@@ -356,7 +356,8 @@ def _pi_quotient_body(circuit, wire_polys_no_pis, alpha_col, dinv):
     shift = sf.generator
     ap = powers_dyn(sf, alpha_col, NUM_WIRES)   # [D, 9]
     vanishing_pis = fops.product_sum(sf, [
-        (ap[:, j:j + 1], 255, wire_polys_no_pis[:, j], 255, 1)
+        (ap[:, j:j + 1], fops.WORK_DB, wire_polys_no_pis[:, j],
+         fops.WORK_DB, 1)
         for j in range(NUM_WIRES)])
     vals = coset_fft(circuit.fft_n, vanishing_pis, shift)
     q_vals = fops.mul(sf, vals, dinv)

@@ -239,3 +239,43 @@ def test_msm_chunked_gather_path(monkeypatch):
         curve, jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=8,
                                              window_group=4))(d, s))
     assert got == expected
+
+
+def test_seg_scan_odd_length_falls_back(monkeypatch):
+    """Odd N with a batch over the chunking threshold must fall back to the
+    associative form instead of recursing at W == 1 (which never shrank the
+    shape and hung; advisor round-2 finding on _seg_scan_gather /
+    _seg_scan_pair)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plonky_tpu.curves import msm as cmsm, ops as cops
+
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_TOTAL", 8)
+    monkeypatch.setattr(cmsm, "_CHUNK_MIN_BATCH", 2)
+
+    curve = TWEEDLEDEE
+    N, G = 17, 2
+    g = chost.generator(curve)
+    pts_h = [chost.mul(g, 3 * k + 1) for k in range(N)]
+    xs = fops.from_ints(curve.base, [p.x for p in pts_h])
+    ys = fops.from_ints(curve.base, [p.y for p in pts_h])
+    P1 = cops.from_affine(curve, xs, ys, jnp.zeros(N, bool))
+    P = tuple(jnp.broadcast_to(t[:, None, :], (t.shape[0], G, N)) for t in P1)
+    flags = jnp.zeros((1, G, N), jnp.int32).at[:, :, 0].set(1)
+    assert cmsm._chunk_width(N, G * N) == 1  # the pathological shape
+
+    out, _ = jax.jit(lambda P_, f: cmsm._seg_scan_pair(curve, P_, f))(P, flags)
+    pos = jnp.broadcast_to(jnp.asarray([[N - 1]]), (G, 1))
+    gathered = jax.jit(lambda P_, f, q: cmsm._seg_scan_gather(
+        curve, P_, f, q))(P, flags, pos)
+
+    total = chost.zero_point(curve)
+    for p in pts_h:
+        total = chost.add(total, p)
+    for arrs, idx in ((out, (0, N - 1)), (gathered, (0, 0))):
+        x, y, z = jax.jit(lambda q: cops.to_affine(curve, q))(
+            tuple(t[..., idx[0], idx[1]] for t in arrs))
+        got = chost.AffinePoint(curve, fops.to_ints(curve.base, x),
+                                fops.to_ints(curve.base, y))
+        assert got == total
