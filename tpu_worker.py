@@ -1,0 +1,64 @@
+"""Persistent TPU worker: holds the axon claim and executes job files.
+
+The axon tunnel grants ONE terminal claim per process and a stale claim
+from an exited process blocks the next process for a long time, so all
+interactive TPU experiments in a session run through this single
+long-lived process.  Protocol: drop `NNN_name.py` files into
+/tmp/tpu_jobs/; the worker execs them (sharing one global namespace, so
+jits/caches persist across jobs) and writes stdout+traceback to
+`NNN_name.out`.  Session-local tooling, not part of the framework.
+"""
+import io
+import os
+import sys
+import time
+import traceback
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+
+import numpy as np
+import jax
+import plonky_tpu
+plonky_tpu.enable_compilation_cache()
+
+
+def sync(arr):
+    small = arr
+    while hasattr(small, "ndim") and small.ndim > 0:
+        small = small[0]      # [0], NOT [:1]: must REDUCE ndim to terminate
+    np.asarray(small)
+
+
+GLOBALS = {"jax": jax, "np": np, "sync": sync, "time": time}
+
+print("worker: devices", jax.devices(), flush=True)
+t0 = time.time()
+sync(jax.jit(lambda x: x * 2 + 1)(jax.numpy.zeros((8, 128))))
+print(f"worker: warmup {time.time()-t0:.1f}s, ready", flush=True)
+
+done = set()
+while True:
+    jobs = sorted(f for f in os.listdir(JOBS)
+                  if f.endswith(".py") and f not in done)
+    for j in jobs:
+        done.add(j)
+        out_path = os.path.join(JOBS, j[:-3] + ".out")
+        src = open(os.path.join(JOBS, j)).read()
+        buf = io.StringIO()
+        old = sys.stdout
+        sys.stdout = buf
+        t0 = time.time()
+        try:
+            exec(compile(src, j, "exec"), GLOBALS)
+            status = "ok"
+        except BaseException:
+            traceback.print_exc(file=buf)
+            status = "error"
+        finally:
+            sys.stdout = old
+        with open(out_path, "w") as f:
+            f.write(buf.getvalue())
+            f.write(f"\n== {status} in {time.time()-t0:.1f}s ==\n")
+        print(f"worker: {j} -> {status} ({time.time()-t0:.1f}s)", flush=True)
+    time.sleep(2)
