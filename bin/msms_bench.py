@@ -24,10 +24,24 @@ def main():
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--virtual", type=int, default=0, metavar="N",
+                    help="run on N virtual CPU devices (this environment's "
+                    "sitecustomize pins JAX_PLATFORMS=axon, so env vars "
+                    "alone cannot; mirrors tests/conftest.py)")
     args = ap.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.virtual}"
+            ).strip()
 
     import jax
     import numpy as np
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
 
     import plonky_tpu
     plonky_tpu.enable_compilation_cache()

@@ -109,31 +109,86 @@ def rescue_hash_n_to_1_host(spec: FieldSpec, inputs, security_bits: int) -> int:
 # ---------------------------------------------------------------------------
 
 def apply_mds(spec: FieldSpec, state):
-    """state: list of width arrays [D, *batch].  Unrolled constant madds."""
-    n = len(state)
-    mds = mds_matrix(spec, n)
-    out = []
-    for r in range(n):
-        acc = None
-        for c in range(n):
-            term = ops.mul(spec, ops.constant(spec, mds[r][c],
-                                              state[c].shape[1:]), state[c])
-            acc = term if acc is None else ops.add(spec, acc, term)
-        out.append(acc)
-    return out
+    """state: list of width arrays [D, *batch] -> MDS-mixed list.
+
+    One broadcast field multiply over a [W, W]-shaped batch plus one
+    digitwise sum (field addition is linear in the digit representation),
+    instead of W^2 separate mul/add kernels."""
+    S = _stack_state(spec, state)
+    out = _apply_mds_stacked(spec, S, _mds_digits(spec, len(state)))
+    return [out[:, r] for r in range(len(state))]
+
+
+def _stack_state(spec: FieldSpec, state):
+    """list of width arrays [D, *batch] -> one [D, W, *batch] array."""
+    import jax.numpy as jnp
+    batch = jnp.broadcast_shapes(*[x.shape[1:] for x in state])
+    return jnp.stack(
+        [jnp.broadcast_to(x, (spec.n_digits, *batch)) for x in state], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _mds_digits(spec: FieldSpec, width: int):
+    """MDS matrix as a [D, W(row), W(col)] canonical digit array."""
+    import numpy as np
+    mds = mds_matrix(spec, width)
+    m = np.stack([np.stack([spec.to_digits(mds[r][c]) for c in range(width)],
+                           axis=-1) for r in range(width)], axis=1)
+    return m  # [D, W, W]
+
+
+def _apply_mds_stacked(spec: FieldSpec, S, m_np):
+    """S: [D, W, *batch] -> MDS(S), via out_r = sum_c M[r,c] * S_c."""
+    import jax.numpy as jnp
+    from ..fields.spec import DIGIT_MASK
+    batch = S.shape[2:]
+    M = jnp.asarray(m_np.reshape(*m_np.shape, *([1] * len(batch))))
+    prod = ops.mul_loose(spec, M, S[:, None], da=DIGIT_MASK)  # [D, W, W, *b]
+    return ops.sum_reduce(spec, prod, axis=1)                 # [D, W, *b]
+
+
+@functools.lru_cache(maxsize=None)
+def _round_constant_digits(spec: FieldSpec, width: int, security_bits: int):
+    """Stacked ChaCha8(1337) round constants as [rounds, D, W] digit arrays."""
+    import numpy as np
+    consts = rescue_constants(spec, width, security_bits)
+    a = np.stack([np.stack([spec.to_digits(c) for c in sa], axis=-1)
+                  for sa, _ in consts], axis=0)
+    b = np.stack([np.stack([spec.to_digits(c) for c in sb], axis=-1)
+                  for _, sb in consts], axis=0)
+    return a, b  # each [rounds, D, W]
 
 
 def rescue_permutation(spec: FieldSpec, state, security_bits: int):
-    """Batched Rescue permutation on device; state: width arrays [D,*batch]."""
+    """Batched Rescue permutation on device; state: width arrays [D,*batch].
+
+    TPU-native form: ONE ``lax.scan`` over rounds with the width axis
+    batched, so the compiled graph holds a single round body (two S-box
+    exponent scans + two broadcast MDS products) however many rounds run.
+    A direct transcription of the reference's round loop
+    (src/rescue.rs:70-88) unrolled 2*rounds*width exponent chains into the
+    graph -- a multi-minute XLA/Mosaic compile for one permutation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    width = len(state)
     inv_alpha = host.kth_root_exponent(spec, spec.alpha)
-    batch = state[0].shape[1:]
-    for step_a_c, step_b_c in rescue_constants(spec, len(state), security_bits):
-        state = [ops.exp_const(spec, x, inv_alpha) for x in state]
-        state = apply_mds(spec, state)
-        state = [ops.add(spec, x, ops.constant(spec, c, batch))
-                 for x, c in zip(state, step_a_c)]
-        state = [ops.exp_const(spec, x, spec.alpha) for x in state]
-        state = apply_mds(spec, state)
-        state = [ops.add(spec, x, ops.constant(spec, c, batch))
-                 for x, c in zip(state, step_b_c)]
-    return state
+    S = _stack_state(spec, state)                      # [D, W, *batch]
+    batch = S.shape[2:]
+    ones = (1,) * len(batch)
+    a_np, b_np = _round_constant_digits(spec, width, security_bits)
+    m_np = _mds_digits(spec, width)
+    A = jnp.asarray(a_np.reshape(*a_np.shape, *ones))  # [R, D, W, 1...]
+    B = jnp.asarray(b_np.reshape(*b_np.shape, *ones))
+
+    def round_body(S, consts):
+        c_a, c_b = consts
+        S = ops.exp_const(spec, S, inv_alpha)
+        S = ops.add(spec, _apply_mds_stacked(spec, S, m_np), c_a)
+        S = ops.exp_const(spec, S, spec.alpha)
+        S = ops.add(spec, _apply_mds_stacked(spec, S, m_np), c_b)
+        return S, None
+
+    S, _ = jax.lax.scan(round_body, S, (A, B))
+    return [S[:, i] for i in range(width)]
