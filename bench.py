@@ -30,7 +30,6 @@ Reference workloads: /root/reference/benches/bls12_g1_summations.rs:8-31
 (MSM 2^16-2^22), /root/reference/benches/fft.rs:10-40 (FFT).
 """
 
-import functools
 import json
 import os
 import subprocess
@@ -46,11 +45,19 @@ BUDGET = float(os.environ.get("PLONKY_BENCH_BUDGET", "1500"))
 # Must exceed the legitimate quiet-path warmup (~120 s) plus one big
 # compile; a real 2^22 MSM steady-state run is well under this.
 STALL_S = float(os.environ.get("PLONKY_BENCH_STALL", "420"))
-# Defense in depth: if the warmup readback ever wedges this long (tunnel
-# outage), fall back to measuring small sizes on CPU -- an
-# honestly-labeled CPU number beats no number.
+# How long the TPU child may sit in "warmup" before the parent gives up on
+# the chip.  The axon terminal grants ONE claim at a time and a claim held
+# by a recently-killed process (e.g. the session's own worker, killed when
+# the round ended moments before this bench started) takes ~10 minutes to
+# expire, so this must be generous -- measured: >400 s after a clean exit.
+# The budget is not wasted while waiting: a CPU child runs CONCURRENTLY
+# (it never touches the chip) and its numbers stand in if the chip never
+# frees up.
 WARMUP_STALL_S = float(os.environ.get(
-    "PLONKY_BENCH_WARMUP_STALL", str(min(600.0, 0.4 * BUDGET))))
+    "PLONKY_BENCH_WARMUP_STALL", str(min(900.0, 0.65 * BUDGET))))
+# Start the concurrent CPU-fallback child if the TPU warmup has not
+# completed by this many seconds in.
+CPU_START_S = float(os.environ.get("PLONKY_BENCH_CPU_START", "150"))
 MAX_RESTARTS = int(os.environ.get("PLONKY_BENCH_RESTARTS", "2"))
 
 
@@ -138,7 +145,13 @@ def phase_fft(out_path: str, sizes, deadline=None):
         pre = FftPrecomputation(F, n)
         coeffs = jax.numpy.asarray(
             rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
-        ff = jax.jit(lambda c, pre=pre: fft(pre, c))
+        if lg >= 21:
+            # constant-form tables exceed the remote-compile size limit
+            tabs = pre.device_tables()
+            raw = jax.jit(lambda c, t, pre=pre: fft(pre, c, tables=t))
+            ff = lambda c: raw(c, tabs)
+        else:
+            ff = jax.jit(lambda c, pre=pre: fft(pre, c))
         t0 = time.time()
         sync(ff(coeffs))
         log(f"FFT 2^{lg} first call (incl. compile): {time.time()-t0:.1f}s")
@@ -159,10 +172,11 @@ def _bench_points(curve, n: int):
 
     Points follow a doubling chain of period CHAIN (pts[i] = 2^(i%CHAIN)*P0),
     so the oracle check collapses to ONE host scalar-mul however large n is.
+    Host prep is fully vectorized (at 2^22 a python-int loop took minutes).
     """
     import jax
     from plonky_tpu.curves import host as chost, ops as cops
-    from plonky_tpu.fields import ops as fops
+    from plonky_tpu.fields.spec import digits_to_int
 
     rng = np.random.default_rng(0)
     chain = min(n, 1 << 12)
@@ -178,12 +192,24 @@ def _bench_points(curve, n: int):
     xs = jax.numpy.asarray(np.tile(xs_np, (1, reps)))
     ys = jax.numpy.asarray(np.tile(ys_np, (1, reps)))
     P = cops.from_affine(curve, xs, ys, jax.numpy.asarray(np.zeros(n, bool)))
-    scal_ints = [int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
-                 for _ in range(n)]
-    scalars = fops.from_ints(curve.scalar, scal_ints)
+    # Scalars as random digit vectors, top digit clamped below p's top
+    # digit: values are then < p (canonical) with no per-int mod, while
+    # keeping nearly the full bit range (so every Pippenger window works).
+    Ds = curve.scalar.n_digits
+    k = curve.scalar.k_digits
+    top_max = (curve.scalar.p - 1) >> (8 * (k - 1))   # top digit of p-1
+    dig = rng.integers(0, 256, (Ds, n), dtype=np.int64)
+    dig[k - 1] %= max(1, top_max)
+    dig[k:] = 0
+    scalars = jax.numpy.asarray(dig.astype(np.int32))
+    # Oracle: total = sum_i s_i * 2^(i mod chain).  Sum the digit vectors
+    # per residue class (int64-safe: n/chain * 255 << 2^63), then one
+    # python-int reconstruction per class.
+    cls = dig.reshape(Ds, reps, chain).sum(axis=1)     # [Ds, chain]
     total = 0
-    for i, s in enumerate(scal_ints):
-        total = (total + (s << (i % chain))) % curve.scalar.p
+    p = curve.scalar.p
+    for k in range(chain):
+        total = (total + (digits_to_int(cls[:, k]) << k)) % p
     expected = chost.mul(p0, total)
     return P, scalars, expected
 
@@ -197,22 +223,27 @@ def phase_msm(out_path: str, sizes, deadline=None):
     skip = _skip_tokens()
     env_w = os.environ.get("PLONKY_BENCH_MSM_WINDOW")
     env_g = os.environ.get("PLONKY_BENCH_MSM_GROUP")
-
-    @functools.lru_cache(maxsize=None)
-    def msm_fn_for(window, group):
-        return jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=window,
-                                             window_group=group))
+    # Above 2^chunk_log the MSM loops the jitted chunk-size program over
+    # point slices (MSM is point-linear): no giant-graph compile, no
+    # [D, G, N] gather blowing HBM at 2^22.
+    chunk_log = int(os.environ.get("PLONKY_BENCH_MSM_CHUNK", "18"))
 
     for lg in sizes:
         if time.time() > (deadline or child_deadline()):
             return
         if f"msm:{lg}" in skip:
             continue
-        # Pippenger window: bigger windows amortize once N >> buckets
-        # (~1.5x fewer point-adds at 2^20 with w=12 vs w=8).
-        window = int(env_w) if env_w else (8 if lg < 18 else 12)
-        group = int(env_g) if env_g else (4 if lg < 18 else 2)
-        msm_fn = msm_fn_for(window, group)
+        # w=8 g=8 measured best at 2^16 (1.84e5 pts/s): bigger windows cut
+        # point-adds but the 4096-bucket reduction and its compile blow up
+        # (w=12 g=2: 1.12e5 pts/s, 359 s compile); one config also keeps
+        # the whole ladder on one set of cached kernels.
+        window = int(env_w) if env_w else 8
+        group = int(env_g) if env_g else 8
+
+        def msm_fn(P, S):
+            return cmsm.msm_chunked(curve, P, S, window_bits=window,
+                                    window_group=group, chunk_log=chunk_log)
+
         emit(out_path, {"starting": f"msm:{lg}"})
         n = 1 << lg
         P, scalars, expected = _bench_points(curve, n)
@@ -284,8 +315,12 @@ def phase_bls_msm(out_path: str, sizes, deadline=None):
 
     skip = _skip_tokens()
     rng = np.random.default_rng(0)
-    msm_fn = jax.jit(lambda P, S: cmsm.msm(curve, P, S, window_bits=8,
-                                           window_group=4))
+    chunk_log = int(os.environ.get("PLONKY_BENCH_MSM_CHUNK", "18"))
+
+    def msm_fn(P, S):
+        return cmsm.msm_chunked(curve, P, S, window_bits=8, window_group=8,
+                                chunk_log=chunk_log)
+
     for lg in sizes:
         if time.time() > (deadline or child_deadline()):
             return
@@ -334,6 +369,9 @@ def run_child(out_path: str, sizes: dict) -> None:
     paid exactly once, then phases run cheapest-compile-first, each bounded
     by a share of the remaining time so the MSM headline always gets a
     slot."""
+    from plonky_tpu.utils import raise_stack_limit
+    raise_stack_limit()   # XLA:CPU compile stack overflow guard
+
     import jax
     if os.environ.get("PLONKY_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
@@ -372,7 +410,7 @@ def run_child(out_path: str, sizes: dict) -> None:
 # Parent
 # ---------------------------------------------------------------------------
 
-def _headline(detail: dict) -> dict:
+def _headline_of(detail: dict) -> dict | None:
     if "msm_points_per_s" in detail:
         metric = f"msm_points_per_s_2e{detail['msm_log_n']}"
         value = detail["msm_points_per_s"]
@@ -386,11 +424,28 @@ def _headline(detail: dict) -> dict:
         value = detail["field_mul_per_s"]
         unit = "muls/s"
     else:
-        metric, value, unit = "bench_failed", 0.0, "n/a"
-    if detail.get("backend") == "cpu" and metric != "bench_failed":
-        metric += "_cpu_fallback"   # NOT a TPU number; tunnel was wedged
+        return None
+    if detail.get("backend") == "cpu":
+        metric += "_cpu_fallback"   # NOT a TPU number; chip was unavailable
     return {"metric": metric, "value": value, "unit": unit,
             "vs_baseline": 0.0, "detail": dict(detail)}
+
+
+def _headline(tpu_detail: dict, cpu_detail: dict) -> dict:
+    """TPU numbers always win; CPU numbers stand in only when the chip
+    never produced any."""
+    h = _headline_of(tpu_detail)
+    if h is not None:
+        if cpu_detail:
+            cpu_h = _headline_of(cpu_detail)
+            if cpu_h is not None:
+                h["detail"]["cpu_crosscheck"] = cpu_h["detail"]
+        return h
+    h = _headline_of(cpu_detail)
+    if h is not None:
+        return h
+    return {"metric": "bench_failed", "value": 0.0, "unit": "n/a",
+            "vs_baseline": 0.0, "detail": dict(tpu_detail)}
 
 
 def _read_records(path: str):
@@ -405,123 +460,157 @@ def _read_records(path: str):
     return [line for line in raw.split("\n")[:-1] if line.strip()]
 
 
+def _kill(proc):
+    if proc is None or proc.poll() is not None:
+        return
+    proc.terminate()
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        try:
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         sizes = {p: [int(s) for s in os.environ.get(
             f"PLONKY_BENCH_{p.upper()}_SIZES", d).split(",")]
             for p, d in (("msm", "16,18,20,22"),
-                         ("fft", "14,16,18,20"),
+                         ("fft", "14,16,18,20,22"),
                          ("field", "18,20"),
                          ("rescue", "14"),
                          ("blsmsm", "16"))}
         run_child(sys.argv[2], sizes)
         return
 
-    detail = {}
-    out_path = tempfile.mktemp(prefix="bench_", suffix=".jsonl")
+    tpu_detail = {}
+    cpu_detail = {}
+    out_tpu = tempfile.mktemp(prefix="bench_tpu_", suffix=".jsonl")
+    out_cpu = tempfile.mktemp(prefix="bench_cpu_", suffix=".jsonl")
     slice_s = max(60.0, remaining() - 25)
     skip = set(t for t in os.environ.get("PLONKY_BENCH_SKIP", "").split(",") if t)
-    cpu_fallback = bool(os.environ.get("PLONKY_BENCH_CPU"))
 
-    def spawn():
+    def spawn(cpu: bool):
         env = dict(os.environ)
         env["PLONKY_BENCH_CHILD_DEADLINE"] = str(START + slice_s - 15)
-        env["PLONKY_BENCH_SKIP"] = ",".join(sorted(skip))
-        if cpu_fallback:
+        env["PLONKY_BENCH_SKIP"] = ",".join(sorted(skip)) if not cpu else ""
+        if cpu:
             env["PLONKY_BENCH_CPU"] = "1"
-            env.setdefault("PLONKY_BENCH_MSM_SIZES", "10,12")
-            env.setdefault("PLONKY_BENCH_FFT_SIZES", "12,14")
-            env.setdefault("PLONKY_BENCH_FIELD_SIZES", "14,16")
+            env["PLONKY_BENCH_MSM_SIZES"] = os.environ.get(
+                "PLONKY_BENCH_CPU_MSM_SIZES", "10,12")
+            env["PLONKY_BENCH_FFT_SIZES"] = os.environ.get(
+                "PLONKY_BENCH_CPU_FFT_SIZES", "12,14")
+            env["PLONKY_BENCH_FIELD_SIZES"] = os.environ.get(
+                "PLONKY_BENCH_CPU_FIELD_SIZES", "14,16")
+            env["PLONKY_BENCH_RESCUE_SIZES"] = "10"
+            env["PLONKY_BENCH_BLSMSM_SIZES"] = "8"
         return subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child", out_path],
+            [sys.executable, os.path.abspath(__file__), "--child",
+             out_cpu if cpu else out_tpu],
             env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
 
-    child = spawn()
+    tpu_child = spawn(cpu=False)
+    cpu_child = None
     restarts = 0
-    seen = 0
-    in_flight = None
-    completed = set()   # size tokens already measured, skipped on restart
+    seen = {out_tpu: 0, out_cpu: 0}
+    in_flight = None          # TPU child's current step
+    tpu_warm = False          # TPU child got past the claim/warmup
+    completed = set()         # size tokens already measured (restart skips)
     last_progress = time.time()
 
-    def absorb(lines):
-        """Fold new records into detail/completed; returns True if any."""
-        nonlocal seen, in_flight
+    def absorb(path, detail):
+        """Fold new records from path into detail; returns True if any."""
+        nonlocal in_flight, tpu_warm
+        lines = _read_records(path)
         new = False
-        for line in lines[seen:]:
+        for line in lines[seen[path]:]:
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
             new = True
             if "starting" in rec:
-                in_flight = rec["starting"]
+                if path == out_tpu:
+                    in_flight = rec["starting"]
                 continue
-            for key, tok in (("field_mul_log_batch", "field"),
-                             ("fft_log_n", "fft"), ("msm_log_n", "msm")):
-                if key in rec:
-                    completed.add(f"{tok}:{rec[key]}")
+            if path == out_tpu:
+                if "warmup_s" in rec:
+                    tpu_warm = True
+                for key, tok in (("field_mul_log_batch", "field"),
+                                 ("fft_log_n", "fft"), ("msm_log_n", "msm")):
+                    if key in rec:
+                        completed.add(f"{tok}:{rec[key]}")
             detail.update(rec)
-        seen = len(lines)
+        seen[path] = len(lines)
         return new
 
     while True:
-        done = child.poll() is not None
-        if absorb(_read_records(out_path)):
+        tpu_done = tpu_child.poll() is not None
+        new_t = absorb(out_tpu, tpu_detail)
+        new_c = absorb(out_cpu, cpu_detail)
+        if new_t:
             last_progress = time.time()
-            print(json.dumps(_headline(detail)), flush=True)
-        if done:
+        if new_t or new_c:
+            print(json.dumps(_headline(tpu_detail, cpu_detail)), flush=True)
+        if tpu_done:
             break
-        # A stall during "warmup" is the axon claim wait (a previous
-        # process's terminal lease must expire first) -- killing/restarting
-        # only re-enters the same queue, so wait it out up to
-        # WARMUP_STALL_S, then fall back to CPU so a number still lands.
-        idle = time.time() - last_progress
-        warmup_wedged = (in_flight == "warmup" and not cpu_fallback
-                         and idle > WARMUP_STALL_S)
+        now = time.time()
+        # Concurrent CPU fallback: while the TPU child waits out the axon
+        # claim (a recently-died process's claim takes ~10 min to expire),
+        # a CPU child -- which never touches the chip -- collects
+        # honestly-labeled numbers so the wait costs nothing.  Killed as
+        # soon as the chip comes alive (1-core box: free the core).
+        if (cpu_child is None and not tpu_warm
+                and now - START > CPU_START_S and remaining() > 120):
+            log("chip still claimed; starting concurrent CPU child")
+            cpu_child = spawn(cpu=True)
+        if tpu_warm and cpu_child is not None and cpu_child.poll() is None:
+            log("chip is alive; stopping the CPU child")
+            _kill(cpu_child)
+        idle = now - last_progress
+        warmup_wedged = in_flight == "warmup" and idle > WARMUP_STALL_S
         stalled = idle > STALL_S and in_flight != "warmup"
-        out_of_time = time.time() - START > slice_s
+        out_of_time = now - START > slice_s
         if stalled or out_of_time or warmup_wedged:
-            why = ("warmup wedged -> CPU fallback" if warmup_wedged
+            why = ("warmup wedged" if warmup_wedged
                    else "stalled" if stalled and not out_of_time
                    else "budget exhausted")
-            log(f"{why}; terminating child (in flight: {in_flight})")
-            child.terminate()
-            try:
-                child.wait(timeout=15)
-            except subprocess.TimeoutExpired:
-                child.kill()
-                try:
-                    child.wait(timeout=10)
-                except subprocess.TimeoutExpired:
-                    pass
-            if warmup_wedged and remaining() > 120:
-                cpu_fallback = True
-                log("respawning child on CPU (small sizes)")
-                child = spawn()
-                in_flight = None
-                last_progress = time.time()
-                continue
+            log(f"{why}; terminating TPU child (in flight: {in_flight})")
+            _kill(tpu_child)
             if (stalled and not out_of_time and restarts < MAX_RESTARTS
                     and remaining() > 180):
                 # skip everything already measured, whole phases that
                 # finished, and the hung step itself
                 skip.update(completed)
                 for k in ("field", "fft", "msm"):
-                    if f"{k}_done" in detail:
+                    if f"{k}_done" in tpu_detail:
                         skip.add(f"phase:{k}")
                 if in_flight and in_flight != "warmup":
                     skip.add(in_flight)
                 restarts += 1
-                log(f"restarting child (attempt {restarts}), skip={sorted(skip)}")
-                child = spawn()
+                log(f"restarting TPU child (attempt {restarts}), "
+                    f"skip={sorted(skip)}")
+                tpu_child = spawn(cpu=False)
                 in_flight = None
                 last_progress = time.time()
                 continue
             break
         time.sleep(5)
-    absorb(_read_records(out_path))
-    detail.pop("starting", None)
-    print(json.dumps(_headline(detail)), flush=True)
+    # Let a still-running CPU child finish if there is budget and no TPU
+    # number landed (its records are the only result we will have).
+    while (cpu_child is not None and cpu_child.poll() is None
+           and not _headline_of(tpu_detail) and remaining() > 30):
+        absorb(out_cpu, cpu_detail)
+        time.sleep(5)
+    _kill(cpu_child)
+    absorb(out_tpu, tpu_detail)
+    absorb(out_cpu, cpu_detail)
+    for d in (tpu_detail, cpu_detail):
+        d.pop("starting", None)
+    print(json.dumps(_headline(tpu_detail, cpu_detail)), flush=True)
 
 
 if __name__ == "__main__":

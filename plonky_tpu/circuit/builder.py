@@ -126,7 +126,15 @@ class CircuitBuilder:
         self.inv(x)
 
     def assert_all_base_4(self, limbs):
-        """reference: circuit_builder.rs:170-199."""
+        """reference: circuit_builder.rs:170-199.
+
+        Every limb wire of the gate must be POPULATED (generated 0 for the
+        unused ones): the gate's witness generator computes acc_new =
+        fold(acc_old, limbs) and only fires once all its limb dependencies
+        exist.  Leaving unused limbs unset left acc_new zero-filled while
+        the fold evaluated to a nonzero value, so the gate's own
+        accumulator constraint was violated on otherwise-valid witnesses
+        (caught by a failing base4sum prove->verify test)."""
         for i in range(0, len(limbs), Base4SumGate.NUM_ROUTED_LIMBS):
             chunk = limbs[i:i + Base4SumGate.NUM_ROUTED_LIMBS]
             gate = self.num_gates()
@@ -134,6 +142,8 @@ class CircuitBuilder:
             self.generate_constant(Wire(gate, Base4SumGate.WIRE_ACC_OLD), 0)
             for j, limb in enumerate(chunk):
                 self.copy(limb, Wire(gate, Base4SumGate.wire_limb(j)))
+            for j in range(len(chunk), Base4SumGate.NUM_LIMBS):
+                self.generate_constant(Wire(gate, Base4SumGate.wire_limb(j)), 0)
 
     def is_zero(self, x):
         """reference: circuit_builder.rs:204-255."""

@@ -10,9 +10,10 @@ Pipeline per window (all under one jit, windows processed by lax.scan):
   2. argsort points by digit
   3. segmented inclusive scan with the complete-addition combiner
      (log2 N batched point adds) -> per-segment sums at segment ends
-  4. gather bucket sums, reduce  sum_j j*B_j  via a reversed cumulative
-     point-add and a tree reduction
-  5. Horner combine across windows (c doublings per window)
+  4. gather bucket sums, reduce  sum_j j*B_j  via constant-shape chunked
+     cumulative point-add scans (reversed cumsum + total)
+  5. Horner combine across windows (c doublings per window), batched
+     across the MSMs of a multi-MSM call
 """
 
 from __future__ import annotations
@@ -239,27 +240,50 @@ def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:
 
 
 def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
-        window_bits: int = 8, window_group: int = 4) -> cops.Point:
-    """MSM over projective points [D, N] x canonical scalars [Ds, N].
+        window_bits: int = 8, window_group: int = 8) -> cops.Point:
+    """MSM over projective points [D, N] x canonical scalars [Ds, *B, N].
 
-    Windows are processed `window_group` at a time: one batched argsort,
-    one segmented scan and one bucket reduction over a [G, N] batch --
-    larger kernels amortize launch overhead and fill the TPU lanes
-    (processing windows one at a time leaves deep scan levels tiny)."""
+    Returns a [.., *B] point: with a leading scalar batch this is a
+    MULTI-MSM over shared points (the prover's polynomial commitments: one
+    Pedersen basis, 6-9 scalar vectors).  Windows are processed
+    `window_group` at a time: one batched argsort, one segmented scan and
+    one bucket reduction over a [G, N] batch -- larger kernels amortize
+    launch overhead and fill the TPU lanes.  A batched multi-MSM feeds the
+    SAME group pipeline (its kernel shapes and compiled code are identical
+    to the single case -- batch scalars only multiply the group count) and
+    batches the final Horner double-and-add across the B MSMs, so the
+    ~bits-of-p sequential batch-1 doublings (measured 46 ms/chip, purely
+    latency-bound) are paid once per CALL, not once per polynomial."""
     c = window_bits
     n_buckets = 1 << c
-    digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, N]
+    digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, *B, N]
     n_windows = digits.shape[0]
-    N = digits.shape[1]
-    G = min(window_group, n_windows)
-    if n_windows % G:
-        # pad with most-significant zero windows (bucket 0 is discarded)
-        pad = G - n_windows % G
+    lead = digits.shape[1:-1]
+    N = digits.shape[-1]
+    K = 1
+    for d in lead:
+        K *= d
+    # [W, K, N] -> [K*W, N], scalar-major so each scalar's windows stay
+    # contiguous (LSW first within a scalar)
+    digits = jnp.moveaxis(digits.reshape(n_windows, K, N), 0, 1) \
+        .reshape(K * n_windows, N)
+    W_total = K * n_windows
+    G = min(window_group, W_total)
+    pad = (-W_total) % G
+    if pad:
+        # pad with zero windows (bucket 0 is discarded; rows sliced off)
         digits = jnp.concatenate(
             [digits, jnp.zeros((pad, N), digits.dtype)], axis=0)
-        n_windows += pad
 
     bucket_ids = jnp.arange(n_buckets)
+
+    # Canonicalize coordinates once so leaf digits fit uint8: the per-group
+    # [D, G, N] gather then moves 4x fewer HBM bytes (the gather is the
+    # MSM's dominant pure-memory stage at N >= 2^18), and canonical inputs
+    # are required anyway for correctness of the uint8 cast (callers like
+    # the Halo fold pass loose-digit points).
+    points = tuple(fops.jitted('canonicalize', curve.base)(t)
+                   .astype(jnp.uint8) for t in points)
 
     def group_sum(dig):
         """dig: [G, N] -> per-window sums, a [.., G] point."""
@@ -267,7 +291,7 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         d_sorted = jnp.take_along_axis(dig, order, axis=-1)
         pts = tuple(jnp.take_along_axis(
             jnp.broadcast_to(t[:, None, :], (t.shape[0], G, N)),
-            order[None], axis=-1) for t in points)
+            order[None], axis=-1).astype(jnp.int32) for t in points)
         first = jnp.concatenate([
             jnp.ones((G, 1), jnp.int32),
             (d_sorted[:, 1:] != d_sorted[:, :-1]).astype(jnp.int32)], axis=-1)
@@ -283,14 +307,22 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         buckets = cops.select(present, gathered, ident)
         # zero out bucket 0 (digit 0 contributes nothing)
         buckets = cops.select(bucket_ids[None, :] > 0, buckets, ident)
-        # sum_j j * B_j: reversed cumulative sums then total
-        def comb(a, b):
-            return cops.add(curve, a, b)
-        T = jax.lax.associative_scan(comb, buckets, axis=buckets[0].ndim - 1,
-                                     reverse=True)
-        # sum_j j*B_j = sum_{k>=1} T_k (T_0 would double-count)
-        T = tuple(t[..., 1:] for t in T)
-        return _tree_reduce(curve, T)   # [.., G]
+        # sum_j j * B_j via T_k = sum_{j>=k} B_j (reversed cumsum), then
+        # sum_j j*B_j = sum_{k>=0} T_k - T_0.  Both passes go through the
+        # CHUNKED scan (zero first-flags = one segment): the associative-
+        # scan + halving-tree form instantiated the fused point-add at
+        # ~2*log2(n_buckets) distinct shrinking shapes -- a separate Mosaic
+        # compile each, which is what made windows > 8 (4096+ buckets)
+        # compile-prohibitive.  Constant kernel count unlocks them.
+        zflags = jnp.zeros((1, G, n_buckets), jnp.int32)
+        rev = tuple(jnp.flip(t, axis=-1) for t in buckets)
+        Trev, _ = _seg_scan_pair(curve, rev, zflags)
+        T = tuple(jnp.flip(t, axis=-1) for t in Trev)
+        tot = _seg_scan_gather(curve, T, zflags,
+                               jnp.full((G, 1), n_buckets - 1))
+        t0 = tuple(t[..., 0] for t in T)
+        return cops.add(curve, tuple(t[..., 0] for t in tot),
+                        cops.neg(curve, t0))   # [.., G]
 
     def n_doublings(pt, k):
         """2^k * pt via a rolled loop: each doubling is ONE instance of the
@@ -299,29 +331,64 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         return jax.lax.fori_loop(
             0, k, lambda _i, q: cops.double(curve, q), pt)
 
-    def scan_body(carry, dig):
-        # groups from most significant; within a group windows are LSW-first
-        ws = group_sum(dig)
+    # Stage 1: per-window sums for ALL (scalar, window) rows.  One traced
+    # group_sum serves every group (lax.scan), so compile time does not
+    # grow with the batch.
+    groups = digits.reshape((W_total + pad) // G, G, N)
+    _, ws = jax.lax.scan(lambda _c, dig: (None, group_sum(dig)), None, groups)
+    # ws leaves: [n_grp, D, G] -> [D, n_grp*G] -> [D, K, W]
+    ws = tuple(jnp.moveaxis(t, 0, 1).reshape(t.shape[1], -1)[:, :W_total]
+               .reshape(t.shape[1], K, n_windows) for t in ws)
 
-        def horner_step(j, acc):
-            acc = n_doublings(acc, c)
-            idx = G - 1 - j
-            win = tuple(jax.lax.dynamic_index_in_dim(
-                t, idx, axis=t.ndim - 1, keepdims=False) for t in ws)
-            return cops.add(curve, acc, win)
+    # Stage 2: Horner across windows, batched over the K MSMs (MSW first).
+    acc = tuple(t[..., n_windows - 1] for t in ws)   # [D, K]
 
-        group_total = tuple(t[..., G - 1] for t in ws)
-        group_total = jax.lax.fori_loop(1, G, horner_step, group_total)
-        carry = n_doublings(carry, c * G)
-        carry = cops.add(curve, carry, group_total)
-        return carry, None
+    def horner_step(j, acc):
+        acc = n_doublings(acc, c)
+        w = n_windows - 2 - j
+        win = tuple(jax.lax.dynamic_index_in_dim(
+            t, w, axis=t.ndim - 1, keepdims=False) for t in ws)
+        return cops.add(curve, acc, win)
 
-    groups = digits.reshape(n_windows // G, G, N)
-    init = cops.identity(curve)
-    result, _ = jax.lax.scan(scan_body, init, groups[::-1])
-    return result
+    acc = jax.lax.fori_loop(0, n_windows - 1, horner_step, acc)
+    if lead:
+        return tuple(t.reshape(t.shape[0], *lead) for t in acc)
+    return tuple(t[..., 0] for t in acc)
 
 
 @functools.lru_cache(maxsize=None)
-def msm_jit(curve: CurveSpec, window_bits: int):
-    return jax.jit(functools.partial(msm, curve, window_bits=window_bits))
+def msm_jit(curve: CurveSpec, window_bits: int, window_group: int = 8):
+    return jax.jit(functools.partial(msm, curve, window_bits=window_bits,
+                                     window_group=window_group))
+
+
+def msm_chunked(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
+                window_bits: int = 8, window_group: int = 8,
+                chunk_log: int = 18) -> cops.Point:
+    """MSM with host-side point chunking for very large N.
+
+    MSM is linear over its points, so an N-point MSM is the sum of
+    independent MSMs over point chunks.  Above 2^chunk_log this loops the
+    jitted 2^chunk_log program over slices instead of compiling (and
+    holding live in HBM) one giant graph: the per-group bucket gather
+    materializes [D, G, N] tensors, which at N=2^22, G=8 would be ~1 GB
+    per coordinate -- past a single chip's budget once scan intermediates
+    pile on -- while the chunked form reuses one already-compiled mid-size
+    program with BETTER points/s (measured on-chip: monolithic 2^20 runs
+    at 1.93e5 pts/s, 4 x 2^18 chunks at 2.34e5 -- the smaller working set
+    stays HBM-friendly; 2^22 via 2^18 chunks: 2.35e5 pts/s).  The
+    per-chunk Horner tail is the only duplicated work."""
+    N = points[0].shape[-1]
+    C = 1 << chunk_log
+    fn = msm_jit(curve, window_bits, window_group)
+    if N <= C:
+        return fn(points, scalars)
+    if N % C:
+        raise ValueError(f"N={N} not a multiple of chunk {C}")
+    add_fn = jax.jit(functools.partial(cops.add, curve))
+    acc = None
+    for i in range(0, N, C):
+        part = fn(tuple(t[..., i:i + C] for t in points),
+                  scalars[..., i:i + C])
+        acc = part if acc is None else add_fn(acc, part)
+    return acc

@@ -42,6 +42,25 @@ def pallas_conv_applicable(batch_elems: int) -> bool:
     return batch_elems >= _FUSION_MIN and batch_elems % _LANE == 0
 
 
+def _pick_tile(N: int, want: int) -> int:
+    """Largest lane-multiple tile <= want that DIVIDES N.
+
+    The pallas_call grids are `(N // tile,)`: a tile that does not divide
+    N silently DROPS the remainder columns -- the kernel never writes
+    them, and the caller reads back garbage.  Power-of-two batches (MSM,
+    FFT ladders) always divided the default tiles, which is why every
+    bench and oracle test passed while the PROVER -- whose wire batch is
+    9 x n, flat N = 2304 at degree 2^8 -- computed a corrupt 9th wire
+    polynomial on TPU (caught by a TPU-vs-CPU pinned-proof bisect, round
+    4).  Callers guarantee N % _LANE == 0, so a valid tile always exists
+    (worst case _LANE itself)."""
+    t = min(want, N)
+    t -= t % _LANE
+    while t > _LANE and N % t:
+        t -= _LANE
+    return max(t, _LANE)
+
+
 @functools.lru_cache(maxsize=None)
 def _conv_call(La: int, Lb: int, N: int, tile: int):
     Lout = La + Lb - 1
@@ -80,7 +99,7 @@ def conv_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     La, N = a.shape
     Lb = b.shape[0]
-    tile = min(N, 2048)
+    tile = _pick_tile(N, 2048)
     return _conv_call(La, Lb, N, tile)(a, b)
 
 
@@ -132,7 +151,7 @@ def reduce_work_pallas(spec, x: jnp.ndarray, digit_bound: int,
     N = 1
     for d in batch:
         N *= d
-    tile = min(N, 2048)
+    tile = _pick_tile(N, 2048)
     vb_key = max(1, (value_bound - 1).bit_length())
     fold = jnp.asarray(spec.fold_rows)
     out = _reduce_work_call(spec, L, digit_bound, vb_key, N, tile, loose)(
@@ -185,7 +204,7 @@ def fused_composite(body, inputs, n_outs: int, out_len: int,
     import numpy as np
 
     N = inputs[0].shape[-1]
-    tile = min(tile, N)
+    tile = _pick_tile(N, tile)
 
     # Dry-run to collect the constants this body materializes.  IN_KERNEL
     # is set so the dry run traces the exact same code path as the kernel.

@@ -62,20 +62,39 @@ class FftPrecomputation:
         self.bit_rev = rev
         self.n_inv_digits = spec.to_digits(self.n_inv)
 
+    def device_tables(self, inverse: bool = False):
+        """Twiddles + bit-reversal as RUNTIME arrays for `fft(.., tables=)`.
+
+        By default the tables are closed over and baked into the compiled
+        program as constants -- compact and cache-friendly at small n, but
+        at n = 2^22 they are ~512 MB and the serialized program exceeds
+        the axon tunnel's remote-compile request limit (HTTP 413).
+        Passing them as arguments keeps the program itself small; the
+        tables travel once as device buffers."""
+        tws = self.twiddles_inv if inverse else self.twiddles
+        import jax.numpy as _jnp
+        return ([_jnp.asarray(t) for t in tws], _jnp.asarray(self.bit_rev))
+
     @functools.cached_property
     def subgroup(self):
         """[1, g, g^2, ...] as python ints (host)."""
         return fhost.cyclic_subgroup_known_order(self.spec, self.g, self.n)
 
 
-def _fft_core(pre: FftPrecomputation, x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+def _fft_core(pre: FftPrecomputation, x: jnp.ndarray, inverse: bool,
+              tables=None) -> jnp.ndarray:
     spec, n = pre.spec, pre.n
     assert x.shape[-1] == n
     lead = x.shape[1:-1]
-    x = x[..., pre.bit_rev]
+    tw_list = bit_rev = None
+    if tables is not None:
+        tw_list, bit_rev = tables
+    x = x[..., pre.bit_rev if bit_rev is None else bit_rev]
     for ell in range(pre.lg_n):
         m = 1 << ell
-        tw = jnp.asarray(pre.twiddles_inv[ell] if inverse else pre.twiddles[ell])
+        tw = (tw_list[ell] if tw_list is not None else
+              jnp.asarray(pre.twiddles_inv[ell] if inverse
+                          else pre.twiddles[ell]))
         # reshape domain axis: [.., n/(2m), 2, m]
         y = x.reshape(*x.shape[:-1], n // (2 * m), 2, m)
         even = y[..., 0, :]
@@ -105,14 +124,18 @@ def _fft_core(pre: FftPrecomputation, x: jnp.ndarray, inverse: bool) -> jnp.ndar
     return x
 
 
-def fft(pre: FftPrecomputation, coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Coefficients -> evaluations over the order-n subgroup [g^0..g^(n-1)]."""
-    return _fft_core(pre, coeffs, inverse=False)
+def fft(pre: FftPrecomputation, coeffs: jnp.ndarray, tables=None) -> jnp.ndarray:
+    """Coefficients -> evaluations over the order-n subgroup [g^0..g^(n-1)].
+
+    `tables` (from `pre.device_tables()`) ships twiddles/bit-rev as runtime
+    buffers instead of program constants -- required at n >= 2^21 where the
+    constant form exceeds the remote-compile size limit."""
+    return _fft_core(pre, coeffs, inverse=False, tables=tables)
 
 
-def ifft(pre: FftPrecomputation, values: jnp.ndarray) -> jnp.ndarray:
+def ifft(pre: FftPrecomputation, values: jnp.ndarray, tables=None) -> jnp.ndarray:
     """Evaluations -> coefficients (reference: src/fft.rs:82-101)."""
-    return _fft_core(pre, values, inverse=True)
+    return _fft_core(pre, values, inverse=True, tables=tables)
 
 
 def powers_device(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:

@@ -28,7 +28,7 @@ from ..circuit.gates import GateCtx
 from ..circuit.partition import sigma_values_host
 from ..circuit.target import NUM_WIRES
 from ..circuit.witness import PartialWitness, Witness
-from ..utils import log2_strict
+from ..utils import cached_jit, log2_strict
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".cache")
@@ -110,14 +110,23 @@ class CommitmentEngine:
 
     def commit_many(self, coeffs: jnp.ndarray, blinding: bool,
                     rand_source=None) -> List[PolynomialCommitment]:
-        """coeffs: [D, k, n].  One MSM per polynomial (batched internally)."""
+        """coeffs: [D, k, n].  ONE batched multi-MSM over the shared
+        Pedersen basis for all k polynomials (the k-MSM batch shares every
+        group-pipeline kernel and the final Horner doublings -- committing
+        9 wire polynomials costs barely more than committing one), then
+        one readback."""
         k = coeffs.shape[1]
         scalars_canon = fops.jitted('canonicalize', self.curve.scalar)(coeffs)
-        out = []
         msm_fn = cmsm.msm_jit(self.curve, commit_window_bits(self.n))
+        pts = msm_fn(self.g_dev, scalars_canon)          # [.., k] point
+        x, y, zero = cached_jit(cops.to_affine, self.curve)(pts)
+        xs = fops.to_ints(self.curve.base, x)
+        ys = fops.to_ints(self.curve.base, y)
+        zs = np.asarray(zero)
+        out = []
         for i in range(k):
-            pt = msm_fn(self.g_dev, scalars_canon[:, i])
-            hp = device_point_to_host(self.curve, pt)
+            hp = (chost.zero_point(self.curve) if bool(zs[i])
+                  else chost.AffinePoint(self.curve, int(xs[i]), int(ys[i])))
             r = 0
             if blinding:
                 r = rand_source(self.curve.scalar.p)

@@ -144,7 +144,13 @@ def verify_proof(public_inputs: List[int], proof: Proof,
         from .circuit import points_to_device, device_point_to_host
         g_dev = points_to_device(curve, pedersen_g)
         scal = ints_to_device_matrix(sf, [s_vec])[:, 0]
-        pt = cmsm.msm_jit(curve, 8)(g_dev, scal)
+        # Size the Pippenger window to n like the commit path (the
+        # reference uses w=8 unconditionally, verifier.rs:175): a fixed
+        # w=8 at tiny n meant 256 buckets for a handful of points -- a
+        # pointlessly deep compile whose recursive XLA:CPU passes were the
+        # one graph still overflowing the C stack in long test processes.
+        from .circuit import commit_window_bits
+        pt = cmsm.msm_jit(curve, commit_window_bits(vk.degree))(g_dev, scal)
         expected = device_point_to_host(curve, pt)
         if proof.halo_g != expected:
             raise VerificationError("Invalid G point.")

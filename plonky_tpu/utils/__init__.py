@@ -7,6 +7,29 @@ TPU-native re-implementation of the helpers in the reference's `src/util.rs`
 from __future__ import annotations
 
 
+def raise_stack_limit() -> None:
+    """Raise RLIMIT_STACK to the hard limit so XLA:CPU can compile our
+    largest programs.
+
+    The unrolled digit-convolution bodies make some protocol graphs (the
+    Rescue-gadget circuit build, the verifier's G-check MSM) deep enough
+    that XLA's recursive CPU compiler passes overflow the stack -- a hard
+    SIGSEGV that killed whole pytest runs (reproduced rounds 3-4).  256 MB
+    was measured insufficient (a suite run still crashed); the same
+    programs compile fine under `ulimit -s unlimited`, so go to the hard
+    limit (unlimited for us).  The Linux main-thread stack grows on demand
+    up to the rlimit at fault time, so raising the soft limit in-process,
+    before the first compile, is sufficient.  No-op where the hard limit
+    forbids it or on non-Unix."""
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        if soft != hard:
+            resource.setrlimit(resource.RLIMIT_STACK, (hard, hard))
+    except (ImportError, ValueError, OSError):
+        pass
+
+
 def ceil_div(a: int, b: int) -> int:
     """Ceiling division (reference: src/util.rs ceil_div_usize)."""
     return -(-a // b)

@@ -7,6 +7,13 @@ backend and sets JAX_PLATFORMS=axon, so we must override via jax.config
 
 import os
 
+# BEFORE importing jax (XLA worker threads inherit the creation-time
+# rlimit): XLA:CPU's recursive passes overflow the default 8 MB stack on
+# our largest protocol graphs -- a hard SIGSEGV.
+from plonky_tpu.utils import raise_stack_limit
+
+raise_stack_limit()
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -105,6 +105,40 @@ def test_msm_vs_naive(n, c):
     assert got == expected
 
 
+def test_msm_multi_and_chunked():
+    """The batched multi-MSM ([Ds, K, N] scalars over shared points) and
+    the host-chunked large-N form must both equal per-column single MSMs
+    (multi-MSM backs the prover's commit_many; chunking backs >2^20 sizes
+    on one chip)."""
+    curve = TWEEDLEDEE
+    g = chost.generator(curve)
+    rng = np.random.default_rng(7)
+    n, K = 16, 3
+    pts = [chost.mul(g, int(rng.integers(1, 1 << 62))) for _ in range(n)]
+    cols = [[int.from_bytes(rng.bytes(40), "little") % curve.scalar.p
+             for _ in range(n)] for _ in range(K)]
+    want = []
+    for col in cols:
+        e = chost.zero_point(curve)
+        for p, s in zip(pts, col):
+            e = chost.add(e, chost.mul(p, s))
+        want.append(e)
+
+    d = points_to_device(curve, pts)
+    s_cols = [fops.from_ints(curve.scalar, col) for col in cols]
+    s_multi = jax.numpy.stack(s_cols, axis=1)           # [Ds, K, N]
+    got_multi = cmsm.msm_jit(curve, 8)(d, s_multi)      # [D, K] point
+    for i in range(K):
+        got_i = device_to_points(
+            curve, tuple(t[..., i] for t in got_multi))
+        assert got_i == want[i], f"multi-MSM column {i} wrong"
+
+    got_chunk = device_to_points(
+        curve, cmsm.msm_chunked(curve, d, s_cols[0], window_bits=8,
+                                window_group=2, chunk_log=2))
+    assert got_chunk == want[0], "chunked MSM wrong"
+
+
 def test_halo_n_mul_identity():
     """[n(s)] P via the endomorphism walk equals plain mul by n(s) -- the
     identity Halo recursion rests on (and the reason halo_n / halo_n_mul /

@@ -37,6 +37,12 @@ def test_two_process_distributed():
             "JAX_PLATFORMS": "cpu",
         })
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
+        # The worker script lives in tests/, so python puts tests/ (not the
+        # repo root) on sys.path -- plonky_tpu must come via PYTHONPATH,
+        # which the invoking environment does not always provide.  EXTEND,
+        # never overwrite (the image's axon plugin rides PYTHONPATH).
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         procs.append(subprocess.Popen(
             [sys.executable, worker], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))

@@ -7,6 +7,14 @@ long-lived process.  Protocol: drop `NNN_name.py` files into
 /tmp/tpu_jobs/; the worker execs them (sharing one global namespace, so
 jits/caches persist across jobs) and writes stdout+traceback to
 `NNN_name.out`.  Session-local tooling, not part of the framework.
+
+IDLE TIMEOUT: the worker EXITS after IDLE_EXIT_S (default 900 s) without
+a new job.  A previous round left a worker like this running forever; it
+was still holding the terminal claim when the driver's end-of-round
+bench ran, which wedged the bench's warmup past its stall allowance and
+forced a CPU fallback.  Self-destructing on idleness guarantees the
+claim is free (or at worst expiring) by the time anything after the
+session needs the chip.
 """
 import io
 import os
@@ -15,6 +23,7 @@ import time
 import traceback
 
 JOBS = "/tmp/tpu_jobs"
+IDLE_EXIT_S = float(os.environ.get("PLONKY_WORKER_IDLE_S", "900"))
 os.makedirs(JOBS, exist_ok=True)
 
 import numpy as np
@@ -38,9 +47,16 @@ sync(jax.jit(lambda x: x * 2 + 1)(jax.numpy.zeros((8, 128))))
 print(f"worker: warmup {time.time()-t0:.1f}s, ready", flush=True)
 
 done = set()
+last_job_t = time.time()
 while True:
+    if time.time() - last_job_t > IDLE_EXIT_S:
+        print(f"worker: idle {IDLE_EXIT_S:.0f}s, exiting to free the claim",
+              flush=True)
+        break
     jobs = sorted(f for f in os.listdir(JOBS)
                   if f.endswith(".py") and f not in done)
+    if jobs:
+        last_job_t = time.time()
     for j in jobs:
         done.add(j)
         out_path = os.path.join(JOBS, j[:-3] + ".out")
