@@ -369,7 +369,7 @@ def run_child(out_path: str, sizes: dict) -> None:
     paid exactly once, then phases run cheapest-compile-first, each bounded
     by a share of the remaining time so the MSM headline always gets a
     slot."""
-    from plonky_tpu.utils import raise_stack_limit
+    from plonky_tpu.utils import install_big_stack_compile, raise_stack_limit
     raise_stack_limit()   # XLA:CPU compile stack overflow guard
 
     import jax
@@ -377,6 +377,7 @@ def run_child(out_path: str, sizes: dict) -> None:
         jax.config.update("jax_platforms", "cpu")
     import plonky_tpu
     plonky_tpu.enable_compilation_cache()
+    install_big_stack_compile()
     log("devices:", jax.devices())
     emit(out_path, {"backend":
                     "cpu" if os.environ.get("PLONKY_BENCH_CPU") else "tpu"})

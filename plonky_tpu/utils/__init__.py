@@ -30,6 +30,57 @@ def raise_stack_limit() -> None:
         pass
 
 
+def install_big_stack_compile(stack_bytes: int = 8 << 30) -> None:
+    """Route XLA's client-side compilation through a thread with a large
+    FIXED stack.
+
+    `raise_stack_limit` is not always enough: the MAIN thread's stack
+    grows on demand only while the address space below it is unmapped,
+    and a long-lived process (a full pytest session) accumulates mappings
+    until growth fails -- the same graph then compiles fine in a fresh
+    process but SIGSEGVs mid-suite (observed: the crash moved from graph
+    to graph as individual programs were right-sized).  A worker thread
+    created with an explicit `threading.stack_size` gets its full stack
+    as one up-front mapping, immune to crowding, so every deep recursive
+    XLA:CPU pass gets room regardless of process age.  8 GB: the
+    deepest protocol graphs (gate-constraint evaluation with in-circuit
+    curve formulas inlined) overflowed 512 MB and 2 GB thread stacks --
+    each raise moved the crash one test later -- and the mapping is
+    virtual and lazily paged, so the cost is address space only.
+    Thread-per-compile costs ~ms against multi-second compiles.
+    Idempotent."""
+    import jax._src.compiler as _comp
+
+    if getattr(_comp.backend_compile_and_load, "_plonky_big_stack", False):
+        return
+    import threading
+
+    inner = _comp.backend_compile_and_load
+
+    def compile_on_big_stack(*args, **kwargs):
+        result = {}
+
+        def run():
+            try:
+                result["v"] = inner(*args, **kwargs)
+            except BaseException as e:  # re-raised on the caller thread
+                result["e"] = e
+
+        old = threading.stack_size(stack_bytes)
+        try:
+            t = threading.Thread(target=run, name="xla-compile-big-stack")
+            t.start()
+        finally:
+            threading.stack_size(old)
+        t.join()
+        if "e" in result:
+            raise result["e"]
+        return result["v"]
+
+    compile_on_big_stack._plonky_big_stack = True
+    _comp.backend_compile_and_load = compile_on_big_stack
+
+
 def ceil_div(a: int, b: int) -> int:
     """Ceiling division (reference: src/util.rs ceil_div_usize)."""
     return -(-a // b)

@@ -25,5 +25,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 import plonky_tpu  # noqa: E402
+from plonky_tpu.utils import install_big_stack_compile  # noqa: E402
 
 plonky_tpu.enable_compilation_cache()
+install_big_stack_compile()
