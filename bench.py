@@ -315,7 +315,11 @@ def phase_bls_msm(out_path: str, sizes, deadline=None):
 
     skip = _skip_tokens()
     rng = np.random.default_rng(0)
-    chunk_log = int(os.environ.get("PLONKY_BENCH_MSM_CHUNK", "18"))
+    # chunk 2^16 (not the Tweedledee 2^18): the 47-digit field's MSM
+    # program is the most expensive compile in the whole bench (~360 s on
+    # the axon remote compiler), so the ladder's first size IS the chunk
+    # size and every larger size reuses that one compiled program.
+    chunk_log = int(os.environ.get("PLONKY_BENCH_BLS_CHUNK", "16"))
 
     def msm_fn(P, S):
         return cmsm.msm_chunked(curve, P, S, window_bits=8, window_group=8,
@@ -352,16 +356,78 @@ def phase_bls_msm(out_path: str, sizes, deadline=None):
                         "bls_msm_log_n": lg})
 
 
+def phase_prover(out_path: str, sizes, deadline=None):
+    """End-to-end prove + verify wall-clock at reference scale (the
+    reference demo proves a 2^14-gate trivial circuit,
+    src/bin/recursion.rs:6-97).  Records first-call (all compiles) and
+    steady-state prove seconds plus per-protocol-phase wall-clock; the
+    proof is verified (verify_g=True) as the correctness oracle."""
+    from plonky_tpu.circuit import CircuitBuilder, PartialWitness
+    from plonky_tpu.circuit.gates import BufferGate
+    from plonky_tpu.curves import TWEEDLEDEE, TWEEDLEDUM
+    from plonky_tpu.protocol import generate_proof, verify_proof
+    from plonky_tpu.utils.timing import record_phases
+
+    skip = _skip_tokens()
+    for lg in sizes:
+        if time.time() > (deadline or child_deadline()):
+            return
+        if f"prover:{lg}" in skip:
+            continue
+        emit(out_path, {"starting": f"prover:{lg}"})
+        t0 = time.time()
+        builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+        while builder.num_gates() < (1 << lg) - 3:
+            builder.add_gate_no_constants(BufferGate(builder.num_gates()))
+        circuit = builder.build()
+        build_s = time.time() - t0
+        log(f"prover 2^{lg}: circuit build {build_s:.1f}s")
+        t0 = time.time()
+        witness = circuit.generate_witness(PartialWitness())
+        witness_s = time.time() - t0
+        t0 = time.time()
+        proof = generate_proof(circuit, witness, old_proofs=[],
+                               blinding=True)
+        first_s = time.time() - t0
+        log(f"prover 2^{lg}: first prove (incl. compiles) {first_s:.1f}s")
+        emit(out_path, {"prover_first_s": first_s, "prover_log_n": lg,
+                        "prover_build_s": round(build_s, 1),
+                        "prover_witness_s": round(witness_s, 1)})
+        t0 = time.time()
+        with record_phases() as phases:
+            proof = generate_proof(circuit, witness, old_proofs=[],
+                                   blinding=True)
+        steady_s = time.time() - t0
+        log(f"prover 2^{lg}: steady prove {steady_s:.2f}s  phases: "
+            + " ".join(f"{k.split('.')[-1]}={v:.2f}"
+                       for k, v in phases.items()))
+        vk = circuit.to_vk()
+        pis = circuit.get_public_inputs(witness)
+        t0 = time.time()
+        old = verify_proof(pis, proof, [], vk, TWEEDLEDUM, verify_g=True)
+        verify_s = time.time() - t0
+        assert old is None, f"prover 2^{lg}: proof did not verify!"
+        log(f"prover 2^{lg}: verify {verify_s:.1f}s (proof verified)")
+        emit(out_path, {"prover_s": steady_s, "prover_log_n": lg,
+                        "prover_verify_s": round(verify_s, 2),
+                        "prover_phases_s":
+                            {k.split(".")[-1]: round(v, 2)
+                             for k, v in phases.items()}})
+
+
 PHASES = {"field": phase_field, "fft": phase_fft, "msm": phase_msm,
-          "rescue": phase_rescue, "blsmsm": phase_bls_msm}
+          "rescue": phase_rescue, "blsmsm": phase_bls_msm,
+          "prover": phase_prover}
 
 # share of the remaining budget each phase may consume before yielding to
 # the next.  msm IS the headline: it runs right after the cheap detail
-# phases and before blsmsm -- BLS12-377's 47-digit field makes blsmsm the
-# single most expensive compile, and running it before msm was observed
-# (round 3) to eat the entire headline slot.
+# phases and before everything expensive -- BLS12-377's 47-digit field
+# makes blsmsm the single most expensive compile, and running it before
+# msm was observed (round 3) to eat the entire headline slot.  The prover
+# (2^14 end-to-end, VERDICT r4 item 2) runs after the headline; blsmsm
+# last.
 PHASE_SHARES = (("field", 0.10), ("rescue", 0.08), ("fft", 0.30),
-                ("msm", 0.85), ("blsmsm", 1.0))
+                ("msm", 0.60), ("prover", 0.70), ("blsmsm", 1.0))
 
 
 def run_child(out_path: str, sizes: dict) -> None:
@@ -483,7 +549,8 @@ def main():
                          ("fft", "14,16,18,20,22"),
                          ("field", "18,20"),
                          ("rescue", "14"),
-                         ("blsmsm", "16"))}
+                         ("prover", "14"),
+                         ("blsmsm", "16,20"))}
         run_child(sys.argv[2], sizes)
         return
 
@@ -507,6 +574,8 @@ def main():
             env["PLONKY_BENCH_FIELD_SIZES"] = os.environ.get(
                 "PLONKY_BENCH_CPU_FIELD_SIZES", "14,16")
             env["PLONKY_BENCH_RESCUE_SIZES"] = "10"
+            env["PLONKY_BENCH_PROVER_SIZES"] = os.environ.get(
+                "PLONKY_BENCH_CPU_PROVER_SIZES", "8")
             env["PLONKY_BENCH_BLSMSM_SIZES"] = "8"
         return subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child",
@@ -541,7 +610,9 @@ def main():
                 if "warmup_s" in rec:
                     tpu_warm = True
                 for key, tok in (("field_mul_log_batch", "field"),
-                                 ("fft_log_n", "fft"), ("msm_log_n", "msm")):
+                                 ("fft_log_n", "fft"), ("msm_log_n", "msm"),
+                                 ("prover_log_n", "prover"),
+                                 ("bls_msm_log_n", "blsmsm")):
                     if key in rec:
                         completed.add(f"{tok}:{rec[key]}")
             detail.update(rec)
@@ -586,7 +657,8 @@ def main():
                 # skip everything already measured, whole phases that
                 # finished, and the hung step itself
                 skip.update(completed)
-                for k in ("field", "fft", "msm"):
+                for k in ("field", "rescue", "fft", "msm", "prover",
+                          "blsmsm"):
                     if f"{k}_done" in tpu_detail:
                         skip.add(f"phase:{k}")
                 if in_flight and in_flight != "warmup":

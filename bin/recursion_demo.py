@@ -185,6 +185,16 @@ def main():
     t0 = phase("Closing the level-1 OldProof natively (final G check)")
     verify_proof(pis1, recursion_proof, [], vk1, TWEEDLEDUM, verify_g=True)
     done(t0)
+
+    t0 = phase("Terminating the chain natively (verify_assumptions_native)")
+    # Everything level 2 deferred about the level-1 proof's openings,
+    # re-checked with host arithmetic -- no level-3 circuit needed.
+    from plonky_tpu.protocol.recursion import verify_assumptions_native
+    verify_assumptions_native(
+        pis2, TWEEDLEDEE, TWEEDLEDUM, rc.circuit.degree_pow(),
+        num_inner_pis=len(pis1),
+        num_gates_without_pis=vk1.num_gates_without_pis)
+    done(t0)
     print("Level-2 recursive proof verified; full cycle closed.")
 
 

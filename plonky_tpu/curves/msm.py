@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import ops as fops
+from ..fields import spec as fspec
 from . import ops as cops
 from .spec import CurveSpec
 
@@ -282,6 +283,9 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     # MSM's dominant pure-memory stage at N >= 2^18), and canonical inputs
     # are required anyway for correctness of the uint8 cast (callers like
     # the Halo fold pass loose-digit points).
+    assert fspec.DIGIT_BITS <= 8, (
+        "uint8 coordinate gather assumes canonical digits fit one byte; "
+        f"DIGIT_BITS={fspec.DIGIT_BITS} needs a wider gather dtype")
     points = tuple(fops.jitted('canonicalize', curve.base)(t)
                    .astype(jnp.uint8) for t in points)
 

@@ -54,6 +54,9 @@ def _pick_tile(N: int, want: int) -> int:
     polynomial on TPU (caught by a TPU-vs-CPU pinned-proof bisect, round
     4).  Callers guarantee N % _LANE == 0, so a valid tile always exists
     (worst case _LANE itself)."""
+    assert N % _LANE == 0, (
+        f"pallas field kernels require N % {_LANE} == 0, got N={N}; a "
+        "non-dividing tile would silently drop the remainder columns")
     t = min(want, N)
     t -= t % _LANE
     while t > _LANE and N % t:

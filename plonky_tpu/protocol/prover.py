@@ -83,10 +83,11 @@ def generate_proof(circuit: Circuit, witness: Witness,
     gamma = try_convert(gamma_bf, sf)
 
     # --- permutation polynomial Z (plonk_util.rs:234-262) ------------------
-    z_values = _permutation_polynomial(circuit, wires_dev, beta, gamma)
-    z_poly = cached_jit(ifft, circuit.fft_n)(z_values)
-    c_z = circuit.commit_engine.commit_many(
-        z_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
+    with phase("prover.z_poly"):
+        z_values = _permutation_polynomial(circuit, wires_dev, beta, gamma)
+        z_poly = cached_jit(ifft, circuit.fft_n)(z_values)
+        c_z = circuit.commit_engine.commit_many(
+            z_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
 
     challenger.observe_affine_point(c_z.commitment)
     alpha = try_convert(challenger.get_challenge(), sf)
@@ -97,18 +98,21 @@ def generate_proof(circuit: Circuit, witness: Witness,
                                            alpha, beta, gamma)
 
     # --- t = vanishing / Z_H, split into 7 chunks (plonk.rs:170-197) --------
-    t_coeffs = cached_jit(_div_zh, sf, n)(vanishing_coeffs)
-    # split into 7 degree-n chunks (the quotient has degree < 7n)
-    t_chunks = t_coeffs[:, :QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER * n].reshape(
-        sf.n_digits, QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER, n)
-    c_t = circuit.commit_engine.commit_many(
-        t_chunks, blinding, halo_mod.RANDOM_SOURCE)
+    with phase("prover.t_quotient"):
+        t_coeffs = cached_jit(_div_zh, sf, n)(vanishing_coeffs)
+        # split into 7 degree-n chunks (the quotient has degree < 7n)
+        t_chunks = t_coeffs[:, :QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER * n
+                            ].reshape(
+            sf.n_digits, QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER, n)
+        c_t = circuit.commit_engine.commit_many(
+            t_chunks, blinding, halo_mod.RANDOM_SOURCE)
 
     # --- public-input quotient (plonk.rs:200-235) ---------------------------
-    pi_quotient_poly = _pi_quotient(circuit, wire_polys_no_pis, alpha,
-                                    num_pi_gates)
-    c_pi_quotient = circuit.commit_engine.commit_many(
-        pi_quotient_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
+    with phase("prover.pi_quotient"):
+        pi_quotient_poly = _pi_quotient(circuit, wire_polys_no_pis, alpha,
+                                        num_pi_gates)
+        c_pi_quotient = circuit.commit_engine.commit_many(
+            pi_quotient_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
 
     public_inputs = circuit.get_public_inputs(witness)
 
@@ -131,9 +135,11 @@ def generate_proof(circuit: Circuit, witness: Witness,
                    for op in old_proofs]
     all_polys = _stack_polys(circuit, wire_polys, z_poly, t_chunks,
                              old_g_polys, pi_quotient_poly)
-    opening_sets = [
-        _open_all(circuit, all_polys, old_proofs, pt) for pt in opening_points
-    ]
+    with phase("prover.openings"):
+        opening_sets = [
+            _open_all(circuit, all_polys, old_proofs, pt)
+            for pt in opening_points
+        ]
     o_local, o_right, o_below = opening_sets
 
     all_opened_bf = []

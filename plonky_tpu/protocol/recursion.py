@@ -808,6 +808,176 @@ def verify_assumptions(builder: CircuitBuilder, inner_curve, degree_pow: int,
     b.copy(b.mul(o_pi_quotient, denom), numerator)
 
 
+def verify_assumptions_native(inner_pis: List[int], curve, inner_curve,
+                              degree_pow: int, num_old_proofs: int = 0,
+                              num_inner_pis: int = 0,
+                              num_gates_without_pis: Optional[int] = None
+                              ) -> None:
+    """Host-native terminal check of a recursion proof's deferred
+    identities: the SAME seven checks as `verify_assumptions`, computed
+    with plain modular arithmetic instead of gates.
+
+    A relying party ending a recursion chain verifies the last proof with
+    `verify_proof` and then calls this on that proof's public inputs --
+    no throwaway `verify_assumptions` circuit needed (previously the only
+    way to terminate, as bin/recursion_demo.py --levels 2 does).
+    Reference parity: plonk_recursion.rs:465-569 only exists in-circuit;
+    this host twin is the natural native API the reference lacks.
+
+    `curve` is the CYCLE PARTNER of the curve the recursion proof was
+    made over -- i.e. the curve a continuing level-(k+1) circuit would be
+    built over (terminating after a level-1 proof over Tweedledee:
+    curve=TWEEDLEDUM, inner_curve=TWEEDLEDEE).  The deferred values live
+    in curve.scalar, and the two-down proof's n() map uses
+    curve.zeta_scalar -- exactly the builder's spec/curve in the circuit
+    version.  `inner_curve` is the curve whose gate
+    constraints the quotient identity re-evaluates.  `degree_pow`,
+    `num_old_proofs`, `num_inner_pis` and `num_gates_without_pis`
+    describe the proof TWO levels down (the one whose verification was
+    deferred), exactly as for `verify_assumptions`.
+
+    Raises VerificationError (protocol.verifier) on any failed identity.
+    """
+    from ..circuit.algebra import HostAlgebra
+    from .plonk_util import eval_l_1, powers, reduce_with_powers
+    from .verifier import VerificationError
+
+    spec = curve.scalar
+    p = spec.p
+    num_kappa = (NUM_CONSTANTS + NUM_ROUTED_WIRES + NUM_WIRES + 1
+                 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER + num_old_proofs + 1)
+    layout = _pi_index_layout(degree_pow, num_kappa, num_inner_pis,
+                              num_old_proofs)
+    need = layout["end"]
+    if len(inner_pis) < need:
+        raise VerificationError(
+            f"recursion proof carries {len(inner_pis)} PIs, need >= {need}")
+
+    def tg(name):
+        idx = layout[name]
+        if isinstance(idx, tuple):
+            return [inner_pis[i] % p for i in range(idx[0], idx[1])]
+        return inner_pis[idx] % p
+
+    def check(cond: bool, what: str):
+        if not cond:
+            raise VerificationError(f"deferred check failed: {what}")
+
+    beta, gamma, alpha, zeta = tg("beta"), tg("gamma"), tg("alpha"), tg("zeta")
+    v, u = tg("v"), tg("u")
+    openings = [tg(f"openings_{k}") for k in range(3)]
+    wire_off = NUM_CONSTANTS + NUM_ROUTED_WIRES
+    o_constants = openings[0][:NUM_CONSTANTS]
+    o_sigmas = openings[0][NUM_CONSTANTS:wire_off]
+    o_local_wires = openings[0][wire_off:wire_off + NUM_WIRES]
+    o_right_wires = openings[1][wire_off:wire_off + NUM_WIRES]
+    o_below_wires = openings[2][wire_off:wire_off + NUM_WIRES]
+    o_z_local = openings[0][_Z_IDX]
+    o_z_right = openings[1][_Z_IDX]
+    o_t = openings[0][_Z_IDX + 1:
+                      _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER]
+    old_start = _Z_IDX + 1 + QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER
+    o_old = openings[0][old_start:old_start + num_old_proofs]
+    halo_us = tg("halo_us")
+    ipa_rs = tg("ipa_rs")
+    u_pows = tg("u_pows")
+    osr = tg("osr")
+    reduced_opening = tg("reduced_opening")
+    halo_b = tg("halo_b")
+    w_invsq = tg("w_invsq")
+    old_block = tg("old_proofs") if num_old_proofs else []
+
+    degree = 1 << degree_pow
+
+    # ---- 1. quotient identity at zeta -----------------------------------
+    zero_eval = (pow(zeta, degree, p) - 1) % p
+    check(zero_eval != 0, "zeta in the two-down subgroup")
+    lagrange_1_eval = eval_l_1(spec, degree, zeta)
+    f_prime = 1
+    g_prime = 1
+    for i in range(NUM_ROUTED_WIRES):
+        k_i = get_subgroup_shift(spec, i)
+        f_prime = f_prime * ((o_local_wires[i] + beta * k_i % p * zeta
+                              + gamma) % p) % p
+        g_prime = g_prime * ((o_local_wires[i] + beta * o_sigmas[i]
+                              + gamma) % p) % p
+    vanishing_v_shift_term = (o_z_local * f_prime - o_z_right * g_prime) % p
+    vanishing_z_1_term = (o_z_local - 1) * lagrange_1_eval % p
+    alg = HostAlgebra(spec)
+    ctx = GateCtx(spec, inner_curve)
+    constraint_terms = evaluate_all_constraints(
+        alg, ctx, o_constants, o_local_wires, o_right_wires, o_below_wires)
+    vanishing_terms = ([vanishing_z_1_term, vanishing_v_shift_term]
+                       + constraint_terms)
+    vanishing_eval = reduce_with_powers(spec, vanishing_terms, alpha)
+    quotient_eval = vanishing_eval * pow(zero_eval, -1, p) % p
+    o_t_eval = reduce_with_powers(spec, o_t, pow(zeta, degree, p))
+    check(quotient_eval == o_t_eval, "quotient identity at zeta")
+
+    # ---- 2. u-power chain -----------------------------------------------
+    check(u_pows == powers(spec, u, num_kappa), "u-power chain")
+
+    def n_of(x):
+        return halo_n(curve, scalar_to_bits_le(x, 128))
+
+    # ---- 3. opening-set reductions --------------------------------------
+    n_pows = [n_of(up) for up in u_pows]
+    for k in range(3):
+        acc = 0
+        for i in range(num_kappa):
+            acc = (acc + openings[k][i] * n_pows[i]) % p
+        check(acc == osr[k], f"opening-set reduction {k}")
+    check(reduce_with_powers(spec, osr, v) == reduced_opening,
+          "reduced opening")
+
+    # ---- 4. IPA round scalars -------------------------------------------
+    for j in range(degree_pow):
+        n_r = n_of(ipa_rs[j])
+        check(w_invsq[j] * n_r % p == 1, f"IPA round {j}: w * n(r) == 1")
+        s = fhost.square_root(spec, n_r)
+        check(s is not None, f"IPA round {j}: n(r) is a square")
+        if s & 1:
+            s = (-s) % p
+        check(halo_us[j] == s, f"IPA round {j}: u_j is the even sqrt")
+
+    # ---- 5. halo_b -------------------------------------------------------
+    gen_n = fhost.primitive_root_of_unity(spec, degree_pow)
+    g65 = pow(gen_n, GRID_WIDTH, p)
+    pts = [zeta, gen_n * zeta % p, g65 * zeta % p]
+    halo_bs = [halo_g(spec, x, halo_us) for x in pts]
+    check(reduce_with_powers(spec, halo_bs, v) == halo_b, "halo_b")
+
+    # ---- 6. old-proof evaluations ---------------------------------------
+    shift = 2 + degree_pow
+    for i in range(num_old_proofs):
+        us_i = old_block[shift * i + 2:shift * i + 2 + degree_pow]
+        check(halo_g(spec, zeta, us_i) == o_old[i],
+              f"old proof {i} g-evaluation")
+
+    # ---- 7. public-input quotient binding -------------------------------
+    o_pi_quotient = openings[0][num_kappa - 1]
+    two_down_pis = tg("inner_pis") if num_inner_pis else []
+    num_pi_gates = (num_inner_pis + NUM_WIRES - 1) // NUM_WIRES
+    if num_pi_gates:
+        assert num_gates_without_pis is not None, \
+            "num_gates_without_pis required to locate the PI-gate points"
+    wire_combo = reduce_with_powers(spec, o_local_wires, alpha)
+    denom = 1
+    pi_interp = 0
+    n_inv = pow(degree, -1, p)
+    for g_idx in range(num_pi_gates):
+        x_i = pow(gen_n, num_gates_without_pis + 2 * g_idx, p)
+        denom = denom * ((zeta - x_i) % p) % p
+        chunk = [two_down_pis[i] if i < num_inner_pis else 0
+                 for i in range(g_idx * NUM_WIRES, (g_idx + 1) * NUM_WIRES)]
+        v_g = reduce_with_powers(spec, chunk, alpha)
+        l_i = (zero_eval * (x_i * n_inv % p) % p
+               * pow((zeta - x_i) % p, -1, p) % p)
+        pi_interp = (pi_interp + v_g * l_i) % p
+    check(o_pi_quotient * denom % p == (wire_combo - pi_interp) % p,
+          "public-input quotient binding")
+
+
 def n_recursive(builder: CircuitBuilder, zeta_scalar: int, bits: List[object]):
     """In-circuit n(): the endomorphism scalar map over 128 boolean targets
     (LE), pair order HIGH-first matching plonk_util.halo_n.  The bits MUST

@@ -198,3 +198,135 @@ def vk_from_bytes(curve: CurveSpec, data: bytes) -> VerificationKey:
                            degree=degree, num_public_inputs=num_public_inputs,
                            num_gates_without_pis=num_gates_without_pis,
                            security_bits=security_bits, curve=curve)
+
+
+# ---------------------------------------------------------------------------
+# Structured (CBOR) container -- the self-describing equivalent of the
+# reference's serde_cbor artifacts (reference: src/serialization.rs:74-155
+# serde impls, :157-329 CBOR round-trip and size tests).  Field/point
+# payloads reuse the canonical compressed encodings above; the container
+# adds named structure, the curve identity and a format version, so an
+# artifact file is interpretable without out-of-band schema knowledge.
+# ---------------------------------------------------------------------------
+
+from . import cbor as _cbor  # noqa: E402
+
+_FORMAT_VERSION = 1
+
+
+def _os_to_obj(spec, os_: OpeningSet) -> dict:
+    f = lambda x: field_to_bytes(spec, x)
+    return {
+        "constants": [f(x) for x in os_.o_constants],
+        "sigmas": [f(x) for x in os_.o_plonk_sigmas],
+        "wires": [f(x) for x in os_.o_wires],
+        "z": f(os_.o_plonk_z),
+        "t": [f(x) for x in os_.o_plonk_t],
+        "old": [f(x) for x in os_.o_old_proofs],
+        "pi_quotient": f(os_.o_pi_quotient),
+    }
+
+
+def _os_from_obj(spec, o: dict) -> OpeningSet:
+    g = lambda b: field_from_bytes(spec, b)
+    return OpeningSet(
+        o_constants=[g(x) for x in o["constants"]],
+        o_plonk_sigmas=[g(x) for x in o["sigmas"]],
+        o_wires=[g(x) for x in o["wires"]],
+        o_plonk_z=g(o["z"]),
+        o_plonk_t=[g(x) for x in o["t"]],
+        o_old_proofs=[g(x) for x in o["old"]],
+        o_pi_quotient=g(o["pi_quotient"]),
+    )
+
+
+def proof_to_cbor(curve: CurveSpec, proof: Proof) -> bytes:
+    sf = curve.scalar
+    pt = lambda q: point_to_bytes(curve, q)
+    obj = {
+        "format": "plonky_tpu.proof",
+        "version": _FORMAT_VERSION,
+        "curve": curve.name,
+        "c_wires": [pt(q) for q in proof.c_wires],
+        "c_plonk_z": pt(proof.c_plonk_z),
+        "c_plonk_t": [pt(q) for q in proof.c_plonk_t],
+        "c_pis_quotient": pt(proof.c_pis_quotient),
+        "o_local": _os_to_obj(sf, proof.o_local),
+        "o_right": _os_to_obj(sf, proof.o_right),
+        "o_below": _os_to_obj(sf, proof.o_below),
+        "halo_l": [pt(q) for q in proof.halo_l],
+        "halo_r": [pt(q) for q in proof.halo_r],
+        "halo_g": pt(proof.halo_g),
+        "schnorr": {
+            "r": pt(proof.schnorr_proof.r),
+            "z1": field_to_bytes(sf, proof.schnorr_proof.z1),
+            "z2": field_to_bytes(sf, proof.schnorr_proof.z2),
+        },
+    }
+    return _cbor.encode(obj)
+
+
+def proof_from_cbor(curve: CurveSpec, data: bytes) -> Proof:
+    obj = _cbor.decode(data)
+    if obj.get("format") != "plonky_tpu.proof":
+        raise ValueError(f"not a proof container: {obj.get('format')!r}")
+    if obj.get("version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported proof version {obj.get('version')!r}")
+    if obj.get("curve") != curve.name:
+        raise ValueError(
+            f"proof is over curve {obj.get('curve')!r}, expected {curve.name}")
+    sf = curve.scalar
+    pt = lambda b: point_from_bytes(curve, b)
+    sch = obj["schnorr"]
+    return Proof(
+        c_wires=[pt(q) for q in obj["c_wires"]],
+        c_plonk_z=pt(obj["c_plonk_z"]),
+        c_plonk_t=[pt(q) for q in obj["c_plonk_t"]],
+        c_pis_quotient=pt(obj["c_pis_quotient"]),
+        o_local=_os_from_obj(sf, obj["o_local"]),
+        o_right=_os_from_obj(sf, obj["o_right"]),
+        o_below=_os_from_obj(sf, obj["o_below"]),
+        halo_l=[pt(q) for q in obj["halo_l"]],
+        halo_r=[pt(q) for q in obj["halo_r"]],
+        halo_g=pt(obj["halo_g"]),
+        schnorr_proof=SchnorrProof(pt(sch["r"]),
+                                   field_from_bytes(sf, sch["z1"]),
+                                   field_from_bytes(sf, sch["z2"])),
+    )
+
+
+def vk_to_cbor(vk: VerificationKey) -> bytes:
+    curve = vk.curve
+    pt = lambda q: point_to_bytes(curve, q)
+    obj = {
+        "format": "plonky_tpu.vk",
+        "version": _FORMAT_VERSION,
+        "curve": curve.name,
+        "c_constants": [pt(q) for q in vk.c_constants],
+        "c_s_sigmas": [pt(q) for q in vk.c_s_sigmas],
+        "degree": vk.degree,
+        "num_public_inputs": vk.num_public_inputs,
+        "num_gates_without_pis": vk.num_gates_without_pis,
+        "security_bits": vk.security_bits,
+    }
+    return _cbor.encode(obj)
+
+
+def vk_from_cbor(curve: CurveSpec, data: bytes) -> VerificationKey:
+    obj = _cbor.decode(data)
+    if obj.get("format") != "plonky_tpu.vk":
+        raise ValueError(f"not a vk container: {obj.get('format')!r}")
+    if obj.get("version") != _FORMAT_VERSION:
+        raise ValueError(f"unsupported vk version {obj.get('version')!r}")
+    if obj.get("curve") != curve.name:
+        raise ValueError(
+            f"vk is over curve {obj.get('curve')!r}, expected {curve.name}")
+    pt = lambda b: point_from_bytes(curve, b)
+    return VerificationKey(
+        c_constants=[pt(q) for q in obj["c_constants"]],
+        c_s_sigmas=[pt(q) for q in obj["c_s_sigmas"]],
+        degree=obj["degree"],
+        num_public_inputs=obj["num_public_inputs"],
+        num_gates_without_pis=obj["num_gates_without_pis"],
+        security_bits=obj["security_bits"],
+        curve=curve)

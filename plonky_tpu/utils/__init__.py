@@ -31,8 +31,8 @@ def raise_stack_limit() -> None:
 
 
 def install_big_stack_compile(stack_bytes: int = 8 << 30) -> None:
-    """Route XLA's client-side compilation through a thread with a large
-    FIXED stack.
+    """Route XLA's client-side compile-or-load-from-cache path through a
+    thread with a large FIXED stack.
 
     `raise_stack_limit` is not always enough: the MAIN thread's stack
     grows on demand only while the address space below it is unmapped,
@@ -48,37 +48,65 @@ def install_big_stack_compile(stack_bytes: int = 8 << 30) -> None:
     each raise moved the crash one test later -- and the mapping is
     virtual and lazily paged, so the cost is address space only.
     Thread-per-compile costs ~ms against multi-second compiles.
-    Idempotent."""
-    import jax._src.compiler as _comp
 
-    if getattr(_comp.backend_compile_and_load, "_plonky_big_stack", False):
-        return
+    We wrap `compile_or_get_cached`, NOT just `backend_compile_and_load`:
+    deserializing a persistent-cache HIT (`_cache_read` ->
+    `get_executable_and_time`) recurses as deep as compiling does, and
+    round 4's wrap of only the compile path left cache reads on the
+    crowded main thread -- the full suite then segfaulted inside
+    `jax/_src/compilation_cache.py:get_executable_and_time` with a warm
+    cache.  `backend_compile_and_load` is wrapped too for any direct
+    callers.  Degrades to a no-op (with a warning) if a jax upgrade
+    renames either private symbol.  Idempotent."""
     import threading
+    import warnings
 
-    inner = _comp.backend_compile_and_load
+    try:
+        import jax._src.compiler as _comp
+    except ImportError:  # pragma: no cover - jax internals moved
+        warnings.warn("plonky_tpu: jax._src.compiler missing; "
+                      "big-stack compile guard disabled")
+        return
 
-    def compile_on_big_stack(*args, **kwargs):
-        result = {}
+    # threading.stack_size() is process-global; serialize set/spawn/restore
+    # so a concurrent compile can't race a worker onto the default stack.
+    lock = threading.Lock()
 
-        def run():
-            try:
-                result["v"] = inner(*args, **kwargs)
-            except BaseException as e:  # re-raised on the caller thread
-                result["e"] = e
+    def _wrap(inner):
+        def on_big_stack(*args, **kwargs):
+            result = {}
 
-        old = threading.stack_size(stack_bytes)
-        try:
-            t = threading.Thread(target=run, name="xla-compile-big-stack")
-            t.start()
-        finally:
-            threading.stack_size(old)
-        t.join()
-        if "e" in result:
-            raise result["e"]
-        return result["v"]
+            def run():
+                try:
+                    result["v"] = inner(*args, **kwargs)
+                except BaseException as e:  # re-raised on the caller thread
+                    result["e"] = e
 
-    compile_on_big_stack._plonky_big_stack = True
-    _comp.backend_compile_and_load = compile_on_big_stack
+            with lock:
+                old = threading.stack_size(stack_bytes)
+                try:
+                    t = threading.Thread(
+                        target=run, name="xla-compile-big-stack")
+                    t.start()
+                finally:
+                    threading.stack_size(old)
+            t.join()
+            if "e" in result:
+                raise result["e"]
+            return result["v"]
+
+        on_big_stack._plonky_big_stack = True
+        return on_big_stack
+
+    for name in ("compile_or_get_cached", "backend_compile_and_load"):
+        fn = getattr(_comp, name, None)
+        if fn is None:  # pragma: no cover - jax internals renamed
+            warnings.warn(f"plonky_tpu: jax._src.compiler.{name} missing; "
+                          "big-stack guard not applied to it")
+            continue
+        if getattr(fn, "_plonky_big_stack", False):
+            continue
+        setattr(_comp, name, _wrap(fn))
 
 
 def ceil_div(a: int, b: int) -> int:

@@ -22,11 +22,31 @@ def trace_enabled() -> bool:
     return _TRACE
 
 
+# When non-None, phase() accumulates {name: total_seconds} here (in
+# addition to any stderr/profiler output).  Used by bench.py's prover
+# phase to report per-phase wall-clock without env plumbing.
+_RECORDER = [None]
+
+
+@contextlib.contextmanager
+def record_phases():
+    """Collect phase durations into the yielded dict for this block.
+    Durations accumulate by name (a phase entered twice sums)."""
+    acc = {}
+    prev = _RECORDER[0]
+    _RECORDER[0] = acc
+    try:
+        yield acc
+    finally:
+        _RECORDER[0] = prev
+
+
 @contextlib.contextmanager
 def phase(name: str):
     """Time a named phase.  Nesting is indented; no-op unless PLONKY_TRACE
-    is set (and jax.profiler.TraceAnnotation when PLONKY_PROFILE is)."""
-    if not _TRACE and not _PROFILE_DIR:
+    is set (and jax.profiler.TraceAnnotation when PLONKY_PROFILE is) or a
+    record_phases() block is active."""
+    if not _TRACE and not _PROFILE_DIR and _RECORDER[0] is None:
         yield
         return
     ctx = contextlib.nullcontext()
@@ -40,9 +60,12 @@ def phase(name: str):
             yield
     finally:
         _depth[0] -= 1
+        dt = time.time() - t0
+        if _RECORDER[0] is not None:
+            _RECORDER[0][name] = _RECORDER[0].get(name, 0.0) + dt
         if _TRACE:
             indent = "  " * _depth[0]
-            print(f"[plonky {indent}{name}] {time.time() - t0:.3f}s",
+            print(f"[plonky {indent}{name}] {dt:.3f}s",
                   file=sys.stderr, flush=True)
 
 

@@ -57,16 +57,60 @@ def _trivial_proof():
     # rejects the zero commitments an unblinded all-zero wire poly yields);
     # the pinned RANDOM_SOURCE keeps the proof fully deterministic
     proof = generate_proof(circuit, witness, old_proofs=[], blinding=True)
-    return circuit, proof
+    return circuit, proof, []
 
 
-def test_trivial_proof_bytes_match_fixture():
-    circuit, proof = _trivial_proof()
+def _sum_pi_proof():
+    """x + y = z with public inputs (reference: prove_and_verify.rs:54
+    test_proof_sum workload)."""
+    builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+    x = builder.add_public_input()
+    y = builder.add_public_input()
+    z = builder.add(x, y)
+    out = builder.add_public_input()
+    builder.copy(z, out)
+    circuit = builder.build()
+    inputs = PartialWitness()
+    inputs.set_target(x, 3)
+    inputs.set_target(y, 39)
+    inputs.set_target(out, 42)
+    witness = circuit.generate_witness(inputs)
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=True)
+    return circuit, proof, circuit.get_public_inputs(witness)
+
+
+def _curve_add_gadget_proof():
+    """In-circuit curve add of two fixed points, result exported as PIs
+    (reference: prove_and_verify.rs:310 curve-gadget workload)."""
+    from plonky_tpu.circuit.gadgets.curve import (
+        constant_affine_point,
+        curve_add,
+    )
+    from plonky_tpu.curves import host as chost
+
+    g = chost.generator(TWEEDLEDUM)
+    p1 = chost.mul(g, 7)
+    p2 = chost.mul(g, 11)
+    builder = CircuitBuilder(TWEEDLEDEE, security_bits=128)
+    t1 = constant_affine_point(builder, p1)
+    t2 = constant_affine_point(builder, p2)
+    s = curve_add(builder, t1, t2)
+    pix, piy = builder.add_public_input(), builder.add_public_input()
+    builder.copy(s.x, pix)
+    builder.copy(s.y, piy)
+    circuit = builder.build()
+    witness = circuit.generate_witness(PartialWitness())
+    proof = generate_proof(circuit, witness, old_proofs=[], blinding=True)
+    return circuit, proof, circuit.get_public_inputs(witness)
+
+
+def _assert_fixture(name: str, make_proof):
+    circuit, proof, pis = make_proof()
     got_proof = proof_to_bytes(TWEEDLEDEE, proof).hex()
     got_vk = vk_to_bytes(circuit.to_vk()).hex()
 
-    proof_path = os.path.join(FIXTURE_DIR, "proof_trivial.hex")
-    vk_path = os.path.join(FIXTURE_DIR, "vk_trivial.hex")
+    proof_path = os.path.join(FIXTURE_DIR, f"proof_{name}.hex")
+    vk_path = os.path.join(FIXTURE_DIR, f"vk_{name}.hex")
     if os.environ.get("PLONKY_WRITE_FIXTURES"):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         with open(proof_path, "w") as f:
@@ -78,10 +122,27 @@ def test_trivial_proof_bytes_match_fixture():
         want_proof = f.read().strip()
     with open(vk_path) as f:
         want_vk = f.read().strip()
-    assert got_proof == want_proof, "proof bytes diverged from fixture"
-    assert got_vk == want_vk, "vk bytes diverged from fixture"
+    assert got_proof == want_proof, \
+        f"proof bytes diverged from fixture {name}"
+    assert got_vk == want_vk, f"vk bytes diverged from fixture {name}"
 
     # the fixture proof round-trips and verifies
     rt = proof_from_bytes(TWEEDLEDEE, bytes.fromhex(want_proof))
-    assert verify_proof([], rt, [], circuit.to_vk(), TWEEDLEDUM,
+    assert verify_proof(pis, rt, [], circuit.to_vk(), TWEEDLEDUM,
                         verify_g=True) is None
+
+
+def test_trivial_proof_bytes_match_fixture():
+    _assert_fixture("trivial", _trivial_proof)
+
+
+def test_sum_pi_proof_bytes_match_fixture():
+    """Second fixture: exercises the PI gates, PI-quotient poly and PI
+    transcript observation beyond the trivial circuit."""
+    _assert_fixture("sum_pi", _sum_pi_proof)
+
+
+def test_curve_add_gadget_proof_bytes_match_fixture():
+    """Third fixture: exercises CurveAddGate constraints + generators and
+    the gadget witness path."""
+    _assert_fixture("curve_add", _curve_add_gadget_proof)

@@ -30,7 +30,9 @@ from plonky_tpu.protocol.checks import (
 from plonky_tpu.protocol.recursion import (
     recursive_verification_circuit,
     verify_assumptions,
+    verify_assumptions_native,
 )
+from plonky_tpu.protocol.verifier import VerificationError
 
 SECURITY_BITS = 128
 
@@ -140,3 +142,27 @@ def test_verify_assumptions_on_real_exports(level1):
     w2 = c2.generate_witness(inputs)
     check_circuit_constraints(c2, w2)
     check_copy_constraints(c2, w2)
+
+
+def test_verify_assumptions_native_matches_circuit(level1):
+    """Host-native chain termination: verify_assumptions_native accepts
+    exactly the exports the in-circuit verify_assumptions accepts (same
+    seven checks, plain modular arithmetic -- the terminal API the
+    reference lacks), and rejects a corrupted export."""
+    inner_circuit, _inner_proof, rc, witness = level1
+    pis = rc.circuit.get_public_inputs(witness)
+
+    # accepts the real exports (the circuit version accepts them too,
+    # test_verify_assumptions_on_real_exports above)
+    verify_assumptions_native(pis, TWEEDLEDUM, TWEEDLEDEE,
+                              inner_circuit.degree_pow())
+
+    # rejects any single corrupted value (spot-check a few positions that
+    # exercise different checks: alpha -> quotient identity, an opening ->
+    # reduction, a halo_u -> IPA sqrt)
+    for idx in (2, 20, len(pis) - 1):
+        bad = list(pis)
+        bad[idx] = (bad[idx] + 1) % TWEEDLEDUM.scalar.p
+        with pytest.raises(VerificationError):
+            verify_assumptions_native(bad, TWEEDLEDUM, TWEEDLEDEE,
+                                      inner_circuit.degree_pow())
