@@ -435,8 +435,10 @@ def run_child(out_path: str, sizes: dict) -> None:
     paid exactly once, then phases run cheapest-compile-first, each bounded
     by a share of the remaining time so the MSM headline always gets a
     slot."""
-    from plonky_tpu.utils import install_big_stack_compile, raise_stack_limit
+    from plonky_tpu.utils import (install_big_stack_compile,
+                                  raise_map_count_limit, raise_stack_limit)
     raise_stack_limit()   # XLA:CPU compile stack overflow guard
+    raise_map_count_limit()   # XLA:CPU mmap-count explosion guard
 
     import jax
     if os.environ.get("PLONKY_BENCH_CPU"):

@@ -7,6 +7,31 @@ TPU-native re-implementation of the helpers in the reference's `src/util.rs`
 from __future__ import annotations
 
 
+def raise_map_count_limit(target: int = 4_194_304) -> None:
+    """Raise the kernel's per-process memory-map limit when possible.
+
+    ROOT CAUSE of the long-standing "aged process" SIGSEGVs (rounds 3-5):
+    XLA:CPU creates memory mappings at a furious rate while compiling /
+    loading our giant protocol executables -- measured on this box: a
+    3-file protocol-test pytest run grew from 37k to 58k maps in three
+    minutes and died right at the default `vm.max_map_count` of 65530
+    (SIGSEGV or SIGABRT wherever the failing mmap lands: persistent-cache
+    deserialization, a compile, an allocation...).  Stack sizes, compile
+    threads and cache policy only moved the crash around; the map-count
+    ceiling is the real resource running out.  Raising it requires root
+    (true in this environment); where the write fails this is a no-op and
+    the big-stack/cache-cap mitigations still help."""
+    try:
+        with open("/proc/sys/vm/max_map_count", "r") as f:
+            current = int(f.read().strip())
+        if current >= target:
+            return
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write(str(target))
+    except (OSError, ValueError):
+        pass
+
+
 def raise_stack_limit() -> None:
     """Raise RLIMIT_STACK to the hard limit so XLA:CPU can compile our
     largest programs.

@@ -9,10 +9,14 @@ import os
 
 # BEFORE importing jax (XLA worker threads inherit the creation-time
 # rlimit): XLA:CPU's recursive passes overflow the default 8 MB stack on
-# our largest protocol graphs -- a hard SIGSEGV.
-from plonky_tpu.utils import raise_stack_limit
+# our largest protocol graphs -- a hard SIGSEGV.  And raise the kernel
+# memory-map limit: XLA:CPU's map usage grows past the 65530 default
+# mid-suite, which was the root cause of the rounds-3-5 aged-process
+# crashes (see utils.raise_map_count_limit).
+from plonky_tpu.utils import raise_map_count_limit, raise_stack_limit
 
 raise_stack_limit()
+raise_map_count_limit()
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -27,6 +27,8 @@ IDLE_EXIT_S = float(os.environ.get("PLONKY_WORKER_IDLE_S", "900"))
 os.makedirs(JOBS, exist_ok=True)
 
 import numpy as np
+from plonky_tpu.utils import raise_map_count_limit
+raise_map_count_limit()
 import jax
 import plonky_tpu
 plonky_tpu.enable_compilation_cache()
