@@ -145,13 +145,12 @@ def phase_fft(out_path: str, sizes, deadline=None):
         pre = FftPrecomputation(F, n)
         coeffs = jax.numpy.asarray(
             rng.integers(0, 256, (F.n_digits, n), dtype=np.int32))
-        if lg >= 21:
-            # constant-form tables exceed the remote-compile size limit
-            tabs = pre.device_tables()
-            raw = jax.jit(lambda c, t, pre=pre: fft(pre, c, tables=t))
-            ff = lambda c: raw(c, tabs)
-        else:
-            ff = jax.jit(lambda c, pre=pre: fft(pre, c))
+        # runtime-buffer tables at EVERY size: constant-baked twiddles
+        # made each size a multi-MB program (slow remote compiles; >2^20
+        # exceeded the upload limit outright)
+        tabs = pre.device_tables()
+        raw = jax.jit(lambda c, t, pre=pre: fft(pre, c, tables=t))
+        ff = lambda c: raw(c, tabs)
         t0 = time.time()
         sync(ff(coeffs))
         log(f"FFT 2^{lg} first call (incl. compile): {time.time()-t0:.1f}s")

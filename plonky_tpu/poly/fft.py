@@ -75,6 +75,25 @@ class FftPrecomputation:
         import jax.numpy as _jnp
         return ([_jnp.asarray(t) for t in tws], _jnp.asarray(self.bit_rev))
 
+    def runtime_tables(self, inverse: bool = False):
+        """device_tables flattened to one cached tuple, for threading as
+        extra ARGUMENTS through jitted protocol graphs.
+
+        Constant-baked twiddles made every FFT-bearing protocol program
+        multi-MB ([D, n] digits per layer): at degree 2^14 the prover's
+        first-call compiles totaled 2329 s on the axon remote compiler
+        (round-5 measurement, job 100) -- dominated by uploading and
+        processing those constants graph after graph -- and on CPU they
+        were the >10 MB persistent-cache entries.  As runtime buffers the
+        tables upload ONCE as device arrays and every program stays
+        small."""
+        key = bool(inverse)
+        cache = self.__dict__.setdefault("_runtime_tables", {})
+        if key not in cache:
+            tws, rev = self.device_tables(inverse)
+            cache[key] = (*tws, rev)
+        return cache[key]
+
     @functools.cached_property
     def subgroup(self):
         """[1, g, g^2, ...] as python ints (host)."""
@@ -136,6 +155,43 @@ def fft(pre: FftPrecomputation, coeffs: jnp.ndarray, tables=None) -> jnp.ndarray
 def ifft(pre: FftPrecomputation, values: jnp.ndarray, tables=None) -> jnp.ndarray:
     """Evaluations -> coefficients (reference: src/fft.rs:82-101)."""
     return _fft_core(pre, values, inverse=True, tables=tables)
+
+
+def _unflat_tables(pre: FftPrecomputation, flat):
+    """Inverse of runtime_tables' flattening: ([tw_0..tw_{lg-1}], bit_rev)."""
+    assert len(flat) == pre.lg_n + 1, (len(flat), pre.lg_n)
+    return (list(flat[:pre.lg_n]), flat[pre.lg_n])
+
+
+def fft_t(pre: FftPrecomputation, x: jnp.ndarray, *flat) -> jnp.ndarray:
+    """fft with runtime tables passed FLAT (see runtime_tables)."""
+    return _fft_core(pre, x, inverse=False, tables=_unflat_tables(pre, flat))
+
+
+def ifft_t(pre: FftPrecomputation, x: jnp.ndarray, *flat) -> jnp.ndarray:
+    return _fft_core(pre, x, inverse=True, tables=_unflat_tables(pre, flat))
+
+
+def lde_t(pre: FftPrecomputation, coeffs: jnp.ndarray, *flat) -> jnp.ndarray:
+    pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, pre.n - coeffs.shape[-1])]
+    return fft_t(pre, jnp.pad(coeffs, pad), *flat)
+
+
+def coset_fft_t(pre: FftPrecomputation, coeffs: jnp.ndarray, shift: int,
+                *flat) -> jnp.ndarray:
+    powers = powers_device(pre.spec, shift, pre.n)
+    powb = powers.reshape(
+        (pre.spec.n_digits,) + (1,) * (coeffs.ndim - 2) + (pre.n,))
+    return fft_t(pre, fops.mul(pre.spec, coeffs, powb), *flat)
+
+
+def coset_ifft_t(pre: FftPrecomputation, values: jnp.ndarray, shift: int,
+                 *flat) -> jnp.ndarray:
+    coeffs = ifft_t(pre, values, *flat)
+    powers = powers_device(pre.spec, pow(shift, -1, pre.spec.p), pre.n)
+    powb = powers.reshape(
+        (pre.spec.n_digits,) + (1,) * (coeffs.ndim - 2) + (pre.n,))
+    return fops.mul(pre.spec, coeffs, powb)
 
 
 def powers_device(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:

@@ -91,6 +91,29 @@ def divide_by_z_h(spec: FieldSpec, coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
     return coset_ifft(pre, fops.mul(spec, values, invb), shift)
 
 
+def divide_by_z_h_t(spec: FieldSpec, coeffs: jnp.ndarray, n: int,
+                    zh_inv: jnp.ndarray, *flat) -> jnp.ndarray:
+    """divide_by_z_h with the 1/Z_H values and FFT twiddles as runtime
+    buffers (`flat` = forward tables then inverse tables, each lg(N)+1
+    long) -- keeps the traced program free of [D, N] constants."""
+    from .fft import coset_fft_t, coset_ifft_t
+    N = coeffs.shape[-1]
+    shift = spec.generator
+    pre = FftPrecomputation(spec, N)
+    k = pre.lg_n + 1
+    assert len(flat) == 2 * k
+    values = coset_fft_t(pre, coeffs, shift, *flat[:k])
+    invb = zh_inv.reshape((spec.n_digits,) + (1,) * (coeffs.ndim - 2) + (N,))
+    return coset_ifft_t(pre, fops.mul(spec, values, invb), shift, *flat[k:])
+
+
+def z_h_inverses_dev(spec: FieldSpec, n: int, big_n: int) -> jnp.ndarray:
+    """[D, big_n] device array of 1/Z_H on the generator coset (runtime
+    companion of divide_by_z_h_t)."""
+    return jnp.asarray(
+        _z_h_inverses_on_coset(spec, n, big_n, spec.generator))
+
+
 def _const_poly(spec: FieldSpec, v: int, like: jnp.ndarray, n: int) -> jnp.ndarray:
     """[D, ..., n] polynomial equal to the constant v (batch dims from `like`)."""
     c = fops.constant(spec, v, like.shape[1:-1] + (1,))

@@ -320,13 +320,17 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
         # constant polynomials (transpose gate-major -> wire-major)
         wire_constants = [list(col) for col in zip(*builder.gate_constants)]
         const_values = ints_to_device_matrix(spec, wire_constants)  # [D, 6, n]
+        from ..poly.fft import ifft_t
         from ..utils import cached_jit
-        constant_polynomials = cached_jit(ifft, fft_n)(const_values)
+        tab_n_inv = fft_n.runtime_tables(True)
+        constant_polynomials = cached_jit(ifft_t, fft_n)(const_values,
+                                                         *tab_n_inv)
         constants_8n = _lde_8n(spec, fft_8n, constant_polynomials)
         c_constants = engine.commit_many(constant_polynomials, blinding=False)
 
         sigma_vals_dev = ints_to_device_matrix(spec, sigma_chunks)
-        s_sigma_polynomials = cached_jit(ifft, fft_n)(sigma_vals_dev)
+        s_sigma_polynomials = cached_jit(ifft_t, fft_n)(sigma_vals_dev,
+                                                        *tab_n_inv)
         s_sigma_values_8n = _lde_8n(spec, fft_8n, s_sigma_polynomials)
         c_s_sigmas = engine.commit_many(s_sigma_polynomials, blinding=False)
 
@@ -361,6 +365,6 @@ def build_circuit(builder, inner_curve: Optional[CurveSpec] = None,
 def _lde_8n(spec, fft_8n: FftPrecomputation, coeffs: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad coefficients to 8n and evaluate (reference:
     plonk_util.rs:179-190 polynomials_to_values_padded)."""
-    from ..poly.fft import lde
+    from ..poly.fft import lde_t
     from ..utils import cached_jit
-    return cached_jit(lde, fft_8n)(coeffs)
+    return cached_jit(lde_t, fft_8n)(coeffs, *fft_8n.runtime_tables(False))

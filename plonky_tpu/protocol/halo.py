@@ -68,25 +68,77 @@ def _scale_add_device(spec, ca_d: jnp.ndarray, a: jnp.ndarray,
     ])
 
 
-def _fold_points_device(curve, bits_inv: jnp.ndarray, g_lo: cops.Point,
-                        bits_u: jnp.ndarray, g_hi: cops.Point) -> cops.Point:
-    """u_inv * g_lo + u * g_hi, batched over the point axis; scalars given
-    as little-endian bit columns [nbits, 1]."""
-    nb = bits_inv.shape[0]
-    m = g_lo[0].shape[-1]
-    lo = cops.scalar_mul_bits(curve, g_lo, jnp.broadcast_to(bits_inv, (nb, m)))
-    hi = cops.scalar_mul_bits(curve, g_hi, jnp.broadcast_to(bits_u, (nb, m)))
-    return cops.add(curve, lo, hi)
-
-
 @functools.lru_cache(maxsize=None)
 def _scale_add_jit(spec):
     return jax.jit(functools.partial(_scale_add_device, spec))
 
 
+# ---------------------------------------------------------------------------
+# Weight-tracked IPA rounds.  The naive formulation folds the G basis every
+# round (u_inv*G_lo + u*G_hi): two 255-step batched double-and-add chains
+# per round, which dominated the on-chip prover (round-5 job 100: 15.6 s of
+# a 21.1 s degree-2^14 prove was prover.ipa) and compiled 14 distinct fold
+# graphs.  Instead the basis NEVER folds: original index k carries a
+# running weight w_k (the partial product of u_j / u_j_inv factors chosen
+# by bit j-1 of k -- exactly the halo_s tensor structure,
+# plonk_util.halo_s), and each round's
+#   L_j = <a_lo, G'_hi>,  R_j = <a_hi, G'_lo>
+# becomes ONE K=2 multi-MSM over the original points with scalars
+#   s_L[k] = w_k * a[k mod half] * bit_{j-1}(k)
+#   s_R[k] = w_k * a[(k mod half) + half] * (1 - bit_{j-1}(k)),
+# a/b stay FULL-WIDTH (live entries in the first n_j positions, masked
+# folds via roll), so every round reuses the same three compiled programs
+# whatever its size, and the final halo_g is one more MSM with w_final
+# (= halo_s(us), the quantity the verifier's G check recomputes anyway).
+# ---------------------------------------------------------------------------
+
+
 @functools.lru_cache(maxsize=None)
-def _fold_points_jit(curve):
-    return jax.jit(functools.partial(_fold_points_device, curve))
+def _ipa_round_scalars_jit(curve):
+    sf = curve.scalar
+
+    def body(w, a, b, idx_lo, idx_hi, bit, mask_lo, shift_half):
+        # gathered current-a values per original index
+        a_lo_g = jnp.take(a, idx_lo, axis=-1)       # a[k mod half]
+        a_hi_g = jnp.take(a, idx_hi, axis=-1)       # a[k mod half + half]
+        bitc = bit[None].astype(jnp.int32)
+        # masking by the 0/1 bit keeps the loose digit bound; msm
+        # canonicalizes its scalar input itself
+        s_l = fops.mul_loose(sf, w, a_lo_g) * bitc
+        s_r = fops.mul_loose(sf, w, a_hi_g) * (1 - bitc)
+        # inner products <a_lo, b_hi>, <a_hi, b_lo> over live entries
+        b_roll = jnp.roll(b, -shift_half, axis=-1)
+        a_roll = jnp.roll(a, -shift_half, axis=-1)
+        maskc = mask_lo[None].astype(jnp.int32)
+        ip_lo_hi = fops.sum_reduce(
+            sf, fops.mul_loose(sf, a, b_roll) * maskc, 0)
+        ip_hi_lo = fops.sum_reduce(
+            sf, fops.mul_loose(sf, a_roll, b) * maskc, 0)
+        return s_l, s_r, ip_lo_hi, ip_hi_lo
+
+    return jax.jit(body)
+
+
+@functools.lru_cache(maxsize=None)
+def _ipa_fold_jit(curve):
+    sf = curve.scalar
+
+    def body(w, a, b, u_col, u_inv_col, bit, mask_lo, shift_half):
+        maskc = mask_lo[None].astype(jnp.int32)
+        bitc = bit[None].astype(jnp.int32)
+        # a' = u_inv a_hi + u a_lo ; b' = u_inv b_lo + u b_hi (live < half)
+        a_new = _scale_add_device(
+            sf, u_inv_col, jnp.roll(a, -shift_half, axis=-1),
+            u_col, a) * maskc
+        b_new = _scale_add_device(
+            sf, u_inv_col, b, u_col,
+            jnp.roll(b, -shift_half, axis=-1)) * maskc
+        # w_k *= u if bit_{j-1}(k) else u_inv
+        factor = fops.select(bitc[0], u_col, u_inv_col)
+        w_new = fops.mul_loose(sf, w, factor)
+        return w_new, a_new, b_new
+
+    return jax.jit(body)
 
 
 def _sc(spec, v: int) -> jnp.ndarray:
@@ -140,7 +192,6 @@ def batch_opening_proof(
     pts_cols = jnp.concatenate([_sc(sf, pt) for pt in opening_points], axis=1)
     halo_b = cached_jit(_build_halo_b_dyn, sf, degree)(pts_cols, _sc(sf, v))
 
-    halo_g_dev = pedersen_g_dev
     halo_l: List[chost.AffinePoint] = []
     halo_r: List[chost.AffinePoint] = []
     randomness = 0
@@ -150,41 +201,31 @@ def batch_opening_proof(
     degree_pow = degree.bit_length() - 1
     from .circuit import commit_window_bits, device_point_to_host
 
-    half0 = degree // 2
-    msm_small = cmsm.msm_jit(curve, commit_window_bits(max(2, half0)))
+    import numpy as np
+    msm_fn = cmsm.msm_jit(curve, commit_window_bits(degree))
+    round_fn = _ipa_round_scalars_jit(curve)
+    fold_fn = _ipa_fold_jit(curve)
 
-    def _pad_scalars(s, m):
-        """Zero-pad canonical scalars [Ds, m] to the fixed width half0 so
-        every IPA round reuses ONE compiled MSM (zero scalars land in the
-        skipped bucket 0)."""
-        if s.shape[-1] == half0:
-            return s
-        return jnp.pad(s, [(0, 0), (0, half0 - s.shape[-1])])
-
-    def _pad_points(g, m):
-        if g[0].shape[-1] == half0:
-            return g
-        ident = cops.identity(curve, (half0 - g[0].shape[-1],))
-        return tuple(jnp.concatenate([t, i], axis=-1)
-                     for t, i in zip(g, ident))
+    k_idx = np.arange(degree)
+    w_dev = fops.constant(sf, 1, (degree,))
+    a_dev = halo_a
+    b_dev = halo_b
 
     for j in range(degree_pow, 0, -1):
-        n = 1 << j
-        middle = n // 2
-        a_lo, a_hi = halo_a[:, :middle], halo_a[:, middle:n]
-        b_lo, b_hi = halo_b[:, :middle], halo_b[:, middle:n]
-        g_lo = tuple(t[:, :middle] for t in halo_g_dev)
-        g_hi = tuple(t[:, middle:n] for t in halo_g_dev)
+        half = 1 << (j - 1)
+        bit = jnp.asarray(((k_idx >> (j - 1)) & 1).astype(np.int32))
+        idx_lo = jnp.asarray((k_idx % half).astype(np.int32))
+        idx_hi = jnp.asarray((k_idx % half + half).astype(np.int32))
+        mask_lo = jnp.asarray((k_idx < half).astype(np.int32))
 
-        # device: the two MSMs and inner products of this round
-        a_lo_c = fops.jitted('canonicalize', sf)(a_lo)
-        a_hi_c = fops.jitted('canonicalize', sf)(a_hi)
-        l_msm = device_point_to_host(
-            curve, msm_small(_pad_points(g_hi, middle), _pad_scalars(a_lo_c, middle)))
-        r_msm = device_point_to_host(
-            curve, msm_small(_pad_points(g_lo, middle), _pad_scalars(a_hi_c, middle)))
-        ip_lo_hi = _inner_product_device(sf, a_lo, b_hi)
-        ip_hi_lo = _inner_product_device(sf, a_hi, b_lo)
+        s_l, s_r, ip_lo_d, ip_hi_d = round_fn(
+            w_dev, a_dev, b_dev, idx_lo, idx_hi, bit, mask_lo,
+            jnp.int32(half))
+        both = msm_fn(pedersen_g_dev, jnp.stack([s_l, s_r], axis=1))
+        l_msm = device_point_to_host(curve, tuple(t[..., 0] for t in both))
+        r_msm = device_point_to_host(curve, tuple(t[..., 1] for t in both))
+        ip_lo_hi = fops.to_ints(sf, ip_lo_d)
+        ip_hi_lo = fops.to_ints(sf, ip_hi_d)
 
         while True:
             l_blind = RANDOM_SOURCE(p)
@@ -209,18 +250,17 @@ def batch_opening_proof(
                 break
 
         u_j_inv = pow(u_j, -1, p)
-        # a' = u^-1 a_hi + u a_lo ; b' = u^-1 b_lo + u b_hi (halo.rs:117-123)
-        sa = _scale_add_jit(sf)
-        halo_a = sa(_sc(sf, u_j_inv), a_hi, _sc(sf, u_j), a_lo)
-        halo_b = sa(_sc(sf, u_j_inv), b_lo, _sc(sf, u_j), b_hi)
-        folded = _fold_points_jit(curve)(
-            _bits_col(sf, u_j_inv), _pad_points(g_lo, middle),
-            _bits_col(sf, u_j), _pad_points(g_hi, middle))
-        halo_g_dev = tuple(t[:, :middle] for t in folded)
+        w_dev, a_dev, b_dev = fold_fn(
+            w_dev, a_dev, b_dev, _sc(sf, u_j), _sc(sf, u_j_inv), bit,
+            mask_lo, jnp.int32(half))
 
-    halo_g_pt = device_point_to_host(curve, tuple(t[:, 0] for t in halo_g_dev))
-    a0 = fops.to_ints(sf, halo_a[:, 0])
-    b0 = fops.to_ints(sf, halo_b[:, 0])
+    # halo_g = <w_final, G> (w_final is exactly halo_s(us)); reuse the same
+    # K=2 multi-MSM program with a zero second row
+    zero_row = fops.zeros(sf, (degree,))
+    gpt = msm_fn(pedersen_g_dev, jnp.stack([w_dev, zero_row], axis=1))
+    halo_g_pt = device_point_to_host(curve, tuple(t[..., 0] for t in gpt))
+    a0 = fops.to_ints(sf, a_dev[:, 0])
+    b0 = fops.to_ints(sf, b_dev[:, 0])
 
     schnorr = schnorr_protocol(curve, a0, b0, halo_g_pt, randomness,
                                u_prime, pedersen_h, challenger)

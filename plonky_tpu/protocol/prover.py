@@ -22,8 +22,9 @@ from ..circuit.target import GRID_WIDTH, NUM_ROUTED_WIRES, NUM_WIRES
 from ..circuit.witness import Witness
 from ..fields import ops as fops
 from ..hashing.challenger import Challenger
-from ..poly.fft import coset_fft, coset_ifft, fft, ifft, lde, powers_dyn
-from ..poly.polynomial import divide_by_z_h, eval_at_dyn
+from ..poly.fft import (coset_fft_t, coset_ifft_t, fft_t, ifft_t, lde_t,
+                        powers_dyn)
+from ..poly.polynomial import divide_by_z_h_t, eval_at_dyn, z_h_inverses_dev
 from ..utils import cached_jit, ceil_div
 from ..utils.timing import phase
 from . import halo as halo_mod
@@ -42,8 +43,19 @@ def _col(spec, v: int) -> jnp.ndarray:
         np.asarray(spec.to_digits(v % spec.p), dtype=np.int32))[:, None]
 
 
-def _div_zh(sf, n, c):
-    return divide_by_z_h(sf, c, n)
+def _div_zh(sf, n, c, zh_inv, *flat):
+    return divide_by_z_h_t(sf, c, n, zh_inv, *flat)
+
+
+@functools.lru_cache(maxsize=None)
+def _div_zh_consts(circuit: Circuit):
+    """Runtime buffers for the t = vanishing / Z_H division at 8n."""
+    sf = circuit.spec
+    n = circuit.degree()
+    zh_inv = z_h_inverses_dev(sf, n, 8 * n)
+    fwd = circuit.fft_8n.runtime_tables(False)
+    inv = circuit.fft_8n.runtime_tables(True)
+    return (zh_inv,) + fwd + inv
 
 
 def generate_proof(circuit: Circuit, witness: Witness,
@@ -55,12 +67,21 @@ def generate_proof(circuit: Circuit, witness: Witness,
     n = circuit.degree()
     challenger = Challenger(bf, circuit.security_bits)
 
+    # FFT twiddles/bit-rev travel as runtime buffers (NOT program
+    # constants): at degree 2^14 the constant-baked form cost 2329 s of
+    # first-call compiles on the axon remote compiler (multi-MB program
+    # uploads per FFT-bearing graph) and produced the >10 MB CPU cache
+    # entries.  One cached upload per (size, direction) serves every graph.
+    tab_n = circuit.fft_n.runtime_tables(False)
+    tab_n_inv = circuit.fft_n.runtime_tables(True)
+    tab_8n = circuit.fft_8n.runtime_tables(False)
+
     # --- wires -> polynomials -> 8n LDE (plonk.rs:93-97) -----------------
     with phase("prover.wire_ldes"):
         wire_values = witness.transpose()          # host [9][n]
         wires_dev = ints_to_device_matrix(sf, wire_values)   # [D, 9, n]
-        wire_polys = cached_jit(ifft, circuit.fft_n)(wires_dev)
-        wires_8n = cached_jit(lde, circuit.fft_8n)(wire_polys)
+        wire_polys = cached_jit(ifft_t, circuit.fft_n)(wires_dev, *tab_n_inv)
+        wires_8n = cached_jit(lde_t, circuit.fft_8n)(wire_polys, *tab_8n)
 
     # --- commit wires (plonk.rs:100-105) ----------------------------------
     with phase("prover.commit_wires"):
@@ -74,7 +95,8 @@ def generate_proof(circuit: Circuit, witness: Witness,
         for i in range(num_pi_gates):
             w[circuit.num_gates_without_pis + 2 * i] = 0
     wires_no_pis_dev = ints_to_device_matrix(sf, wire_values_no_pis)
-    wire_polys_no_pis = cached_jit(ifft, circuit.fft_n)(wires_no_pis_dev)
+    wire_polys_no_pis = cached_jit(ifft_t, circuit.fft_n)(
+        wires_no_pis_dev, *tab_n_inv)
 
     # --- beta, gamma -------------------------------------------------------
     challenger.observe_affine_points([c.commitment for c in c_wires])
@@ -85,7 +107,7 @@ def generate_proof(circuit: Circuit, witness: Witness,
     # --- permutation polynomial Z (plonk_util.rs:234-262) ------------------
     with phase("prover.z_poly"):
         z_values = _permutation_polynomial(circuit, wires_dev, beta, gamma)
-        z_poly = cached_jit(ifft, circuit.fft_n)(z_values)
+        z_poly = cached_jit(ifft_t, circuit.fft_n)(z_values, *tab_n_inv)
         c_z = circuit.commit_engine.commit_many(
             z_poly[:, None], blinding, halo_mod.RANDOM_SOURCE)[0]
 
@@ -99,7 +121,8 @@ def generate_proof(circuit: Circuit, witness: Witness,
 
     # --- t = vanishing / Z_H, split into 7 chunks (plonk.rs:170-197) --------
     with phase("prover.t_quotient"):
-        t_coeffs = cached_jit(_div_zh, sf, n)(vanishing_coeffs)
+        t_coeffs = cached_jit(_div_zh, sf, n)(vanishing_coeffs,
+                                              *_div_zh_consts(circuit))
         # split into 7 degree-n chunks (the quotient has degree < 7n)
         t_chunks = t_coeffs[:, :QUOTIENT_POLYNOMIAL_DEGREE_MULTIPLIER * n
                             ].reshape(
@@ -257,7 +280,7 @@ def _circuit_vanishing_consts(circuit: Circuit):
 
 
 def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
-                    xn_m1_arr, alpha_col, beta_col, gamma_col):
+                    xn_m1_arr, alpha_col, beta_col, gamma_col, *tabs8):
     """Evaluate all filtered gate constraints + permutation terms at all 8n
     points, fold by powers of alpha, interpolate (reference: plonk.rs:375-456).
     This is the prover's biggest compute (SURVEY.md P4): one fused batched
@@ -266,9 +289,12 @@ def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
     sf = circuit.spec
     n = circuit.degree()
     n8 = 8 * n
+    k8 = circuit.fft_8n.lg_n + 1
+    assert len(tabs8) == 2 * k8
     # z on the 8n domain, plus its g-shifted version (shift by 8)
-    z8 = fft(circuit.fft_8n,
-             jnp.pad(z_coeffs, [(0, 0), (0, n8 - z_coeffs.shape[-1])]))
+    z8 = fft_t(circuit.fft_8n,
+               jnp.pad(z_coeffs, [(0, 0), (0, n8 - z_coeffs.shape[-1])]),
+               *tabs8[:k8])
     z8_right = jnp.roll(z8, -8, axis=-1)
     wires_right = jnp.roll(wires8, -8, axis=-1)
     wires_below = jnp.roll(wires8, -8 * GRID_WIDTH, axis=-1)
@@ -320,7 +346,7 @@ def _vanishing_body(circuit, wires8, z_coeffs, consts8, sigma8, sub8,
     ps_terms = [(ap[:, i:i + 1], fops.WORK_DB, arr, db, 1)
                 for i, (arr, db) in enumerate(terms)]
     vanishing_values = fops.product_sum(sf, ps_terms)
-    return ifft(circuit.fft_8n, vanishing_values)
+    return ifft_t(circuit.fft_8n, vanishing_values, *tabs8[k8:])
 
 
 def _vanishing_poly(circuit: Circuit, wires_8n: jnp.ndarray,
@@ -328,9 +354,12 @@ def _vanishing_poly(circuit: Circuit, wires_8n: jnp.ndarray,
                     gamma: int) -> jnp.ndarray:
     sf = circuit.spec
     sub8_dev, xn_m1_dev = _circuit_vanishing_consts(circuit)
+    tabs8 = (circuit.fft_8n.runtime_tables(False)
+             + circuit.fft_8n.runtime_tables(True))
     return cached_jit(_vanishing_body, circuit)(
         wires_8n, z_poly, circuit.constants_8n, circuit.s_sigma_values_8n,
-        sub8_dev, xn_m1_dev, _col(sf, alpha), _col(sf, beta), _col(sf, gamma))
+        sub8_dev, xn_m1_dev, _col(sf, alpha), _col(sf, beta), _col(sf, gamma),
+        *tabs8)
 
 
 @functools.lru_cache(maxsize=None)
@@ -353,29 +382,33 @@ def _circuit_pi_denom_inv(circuit: Circuit, num_pi_gates: int) -> jnp.ndarray:
     return ints_to_device_matrix(sf, [denom_inv])[:, 0]
 
 
-def _pi_quotient_body(circuit, wire_polys_no_pis, alpha_col, dinv):
+def _pi_quotient_body(circuit, wire_polys_no_pis, alpha_col, dinv, *tabs):
     """alpha-combination of no-PI wire polys, divided exactly by
     prod_k (X - x_k) over the PI gate points, via coset evaluate/divide
     (reference: plonk.rs:200-235 uses Newton polynomial division; the coset
     form is the FFT-shaped equivalent for an exact division)."""
     sf = circuit.spec
     shift = sf.generator
+    k = circuit.fft_n.lg_n + 1
+    assert len(tabs) == 2 * k
     ap = powers_dyn(sf, alpha_col, NUM_WIRES)   # [D, 9]
     vanishing_pis = fops.product_sum(sf, [
         (ap[:, j:j + 1], fops.WORK_DB, wire_polys_no_pis[:, j],
          fops.WORK_DB, 1)
         for j in range(NUM_WIRES)])
-    vals = coset_fft(circuit.fft_n, vanishing_pis, shift)
+    vals = coset_fft_t(circuit.fft_n, vanishing_pis, shift, *tabs[:k])
     q_vals = fops.mul(sf, vals, dinv)
-    return coset_ifft(circuit.fft_n, q_vals, shift)
+    return coset_ifft_t(circuit.fft_n, q_vals, shift, *tabs[k:])
 
 
 def _pi_quotient(circuit: Circuit, wire_polys_no_pis: jnp.ndarray,
                  alpha: int, num_pi_gates: int) -> jnp.ndarray:
     sf = circuit.spec
     dinv = _circuit_pi_denom_inv(circuit, num_pi_gates)
+    tabs = (circuit.fft_n.runtime_tables(False)
+            + circuit.fft_n.runtime_tables(True))
     return cached_jit(_pi_quotient_body, circuit)(
-        wire_polys_no_pis, _col(sf, alpha), dinv)
+        wire_polys_no_pis, _col(sf, alpha), dinv, *tabs)
 
 
 def _stack_polys(circuit: Circuit, wire_polys, z_poly, t_chunks, old_g_polys,

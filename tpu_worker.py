@@ -51,12 +51,17 @@ print(f"worker: warmup {time.time()-t0:.1f}s, ready", flush=True)
 done = set()
 last_job_t = time.time()
 while True:
-    if time.time() - last_job_t > IDLE_EXIT_S:
+    jobs = sorted(f for f in os.listdir(JOBS)
+                  if f.endswith(".py") and f not in done)
+    # Idle = no new jobs since last_job_t.  Check AFTER scanning, and
+    # reset the clock when a job finishes: a single job longer than
+    # IDLE_EXIT_S used to trip this check before the queue was rescanned,
+    # abandoning everything queued behind it (round-5 repro: job 100 ran
+    # 49 min, worker exited with 4 jobs waiting).
+    if not jobs and time.time() - last_job_t > IDLE_EXIT_S:
         print(f"worker: idle {IDLE_EXIT_S:.0f}s, exiting to free the claim",
               flush=True)
         break
-    jobs = sorted(f for f in os.listdir(JOBS)
-                  if f.endswith(".py") and f not in done)
     if jobs:
         last_job_t = time.time()
     for j in jobs:
@@ -79,4 +84,5 @@ while True:
             f.write(buf.getvalue())
             f.write(f"\n== {status} in {time.time()-t0:.1f}s ==\n")
         print(f"worker: {j} -> {status} ({time.time()-t0:.1f}s)", flush=True)
+        last_job_t = time.time()
     time.sleep(2)
