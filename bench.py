@@ -361,13 +361,40 @@ def phase_prover(out_path: str, sizes, deadline=None):
     src/bin/recursion.rs:6-97).  Records first-call (all compiles) and
     steady-state prove seconds plus per-protocol-phase wall-clock; the
     proof is verified (verify_g=True) as the correctness oracle."""
+    import threading
+
     from plonky_tpu.circuit import CircuitBuilder, PartialWitness
     from plonky_tpu.circuit.gates import BufferGate
     from plonky_tpu.curves import TWEEDLEDEE, TWEEDLEDUM
     from plonky_tpu.protocol import generate_proof, verify_proof
     from plonky_tpu.utils.timing import record_phases
 
+    # Heartbeat: circuit build + first prove sit in compiles for longer
+    # than the parent's stall allowance with no records; emit one
+    # keepalive every 2 min so the parent doesn't kill the child.
+    hb_stop = threading.Event()
+
+    def hb():
+        while not hb_stop.wait(120):
+            emit(out_path, {"prover_heartbeat": round(time.time() - START, 1)})
+
+    hb_thread = threading.Thread(target=hb, daemon=True)
+    hb_thread.start()
+
     skip = _skip_tokens()
+    try:
+        _prover_sizes(out_path, sizes, deadline, skip)
+    finally:
+        hb_stop.set()
+
+
+def _prover_sizes(out_path, sizes, deadline, skip):
+    from plonky_tpu.circuit import CircuitBuilder, PartialWitness
+    from plonky_tpu.circuit.gates import BufferGate
+    from plonky_tpu.curves import TWEEDLEDEE, TWEEDLEDUM
+    from plonky_tpu.protocol import generate_proof, verify_proof
+    from plonky_tpu.utils.timing import record_phases
+
     for lg in sizes:
         if time.time() > (deadline or child_deadline()):
             return
