@@ -396,7 +396,15 @@ def _prover_sizes(out_path, sizes, deadline, skip):
     from plonky_tpu.utils.timing import record_phases
 
     for lg in sizes:
-        if time.time() > (deadline or child_deadline()):
+        # The phase deadline only bounds the START of a size; the build +
+        # first prove run to completion once begun (no mid-graph abort).
+        # Gate on a measured floor so an underfunded prover phase SKIPS
+        # (leaving the remaining budget to blsmsm) instead of overshooting
+        # its share and starving every later phase.  Floor: warm-cache
+        # 2^14 build+prove+verify measured on this box (round 5).
+        need_s = float(os.environ.get("PLONKY_BENCH_PROVER_NEED", "500"))
+        if time.time() + need_s > (deadline or child_deadline()):
+            log(f"prover 2^{lg}: skipped, < {need_s:.0f}s left in slot")
             return
         if f"prover:{lg}" in skip:
             continue

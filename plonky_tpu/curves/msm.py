@@ -34,10 +34,42 @@ def scalar_window_digits(spec, scalars: jnp.ndarray, c: int) -> jnp.ndarray:
     """Canonical scalars [Ds, N] -> window digits [n_windows, N] (LSW first)."""
     n_bits = spec.bits
     n_windows = -(-n_bits // c)
-    bits = fops.to_bits(spec, scalars, n_windows * c)  # [n_windows*c, N]
+    # to_bits indexes digit idx//DIGIT_BITS; never ask past the digit array
+    n_avail = spec.n_digits * fspec.DIGIT_BITS
+    bits = fops.to_bits(spec, scalars, min(n_windows * c, n_avail))
+    pad = n_windows * c - bits.shape[0]
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((pad, *bits.shape[1:]), bits.dtype)], axis=0)
     bits = bits.reshape(n_windows, c, *scalars.shape[1:])
     weights = jnp.asarray([1 << k for k in range(c)], dtype=jnp.int32)
     return jnp.einsum('wc...,c->w...', bits, weights)
+
+
+def scalar_window_digits_signed(spec, scalars: jnp.ndarray, c: int):
+    """Signed window digits: (magnitudes, signs), both [n_windows+1, .., N].
+
+    Standard signed-window recoding: a digit d >= 2^(c-1) becomes d - 2^c
+    with a carry into the next window, so magnitudes lie in [0, 2^(c-1)]
+    -- HALF the bucket range of the unsigned form at the same window width
+    (the negation that pays for it is a free Y-negation on the gathered
+    points).  One extra all-{0,1} window absorbs the final carry.
+    Replaces the unsigned digit split of src/curve/curve_msm.rs:63-80 with
+    the classic bucket-halving trick the reference leaves on the table."""
+    d = scalar_window_digits(spec, scalars, c)          # [W, .., N]
+    d = jnp.concatenate([d, jnp.zeros_like(d[:1])], axis=0)
+    half, full = 1 << (c - 1), 1 << c
+
+    def step(carry, dw):
+        t = dw + carry
+        ge = t >= half
+        mag = jnp.where(ge, full - t, t)
+        sign = jnp.where(ge, -1, 1).astype(jnp.int32)
+        return ge.astype(dw.dtype), (mag, sign)
+
+    _, (mags, signs) = jax.lax.scan(
+        step, jnp.zeros(d.shape[1:], d.dtype), d)
+    return mags, signs
 
 
 def _segmented_add_scan(curve: CurveSpec, pts: cops.Point, first_flags: jnp.ndarray):
@@ -241,7 +273,8 @@ def _tree_reduce(curve: CurveSpec, pts: cops.Point) -> cops.Point:
 
 
 def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
-        window_bits: int = 8, window_group: int = 8) -> cops.Point:
+        window_bits: int = 8, window_group: int = 8,
+        signed: bool = False) -> cops.Point:
     """MSM over projective points [D, N] x canonical scalars [Ds, *B, N].
 
     Returns a [.., *B] point: with a leading scalar batch this is a
@@ -256,18 +289,27 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     ~bits-of-p sequential batch-1 doublings (measured 46 ms/chip, purely
     latency-bound) are paid once per CALL, not once per polynomial."""
     c = window_bits
-    n_buckets = 1 << c
-    digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, *B, N]
+    if signed:
+        n_buckets = (1 << (c - 1)) + 1
+        digits, signs = scalar_window_digits_signed(curve.scalar, scalars, c)
+    else:
+        n_buckets = 1 << c
+        digits = scalar_window_digits(curve.scalar, scalars, c)  # [W, *B, N]
+        signs = jnp.ones_like(digits)
     n_windows = digits.shape[0]
     lead = digits.shape[1:-1]
     N = digits.shape[-1]
     K = 1
     for d in lead:
         K *= d
-    # [W, K, N] -> [K*W, N], scalar-major so each scalar's windows stay
-    # contiguous (LSW first within a scalar)
-    digits = jnp.moveaxis(digits.reshape(n_windows, K, N), 0, 1) \
-        .reshape(K * n_windows, N)
+
+    def rows(t):
+        # [W, K, N] -> [K*W, N], scalar-major so each scalar's windows stay
+        # contiguous (LSW first within a scalar)
+        return jnp.moveaxis(t.reshape(n_windows, K, N), 0, 1) \
+            .reshape(K * n_windows, N)
+
+    digits, signs = rows(digits), rows(signs)
     W_total = K * n_windows
     G = min(window_group, W_total)
     pad = (-W_total) % G
@@ -275,6 +317,8 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
         # pad with zero windows (bucket 0 is discarded; rows sliced off)
         digits = jnp.concatenate(
             [digits, jnp.zeros((pad, N), digits.dtype)], axis=0)
+        signs = jnp.concatenate(
+            [signs, jnp.ones((pad, N), signs.dtype)], axis=0)
 
     bucket_ids = jnp.arange(n_buckets)
 
@@ -282,20 +326,29 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     # [D, G, N] gather then moves 4x fewer HBM bytes (the gather is the
     # MSM's dominant pure-memory stage at N >= 2^18), and canonical inputs
     # are required anyway for correctness of the uint8 cast (callers like
-    # the Halo fold pass loose-digit points).
+    # the Halo fold pass loose-digit points).  uint8 inputs are accepted
+    # as ALREADY canonical -- the fixed-base fast path (`precompute_base`):
+    # a basis reused across calls (the prover's Pedersen generators,
+    # reference src/curve/curve_msm.rs:16-52 amortizes precomputation the
+    # same way) skips the three full canonicalize passes per commitment.
     assert fspec.DIGIT_BITS <= 8, (
         "uint8 coordinate gather assumes canonical digits fit one byte; "
         f"DIGIT_BITS={fspec.DIGIT_BITS} needs a wider gather dtype")
-    points = tuple(fops.jitted('canonicalize', curve.base)(t)
-                   .astype(jnp.uint8) for t in points)
+    if points[0].dtype != jnp.uint8:
+        points = tuple(fops.jitted('canonicalize', curve.base)(t)
+                       .astype(jnp.uint8) for t in points)
 
-    def group_sum(dig):
-        """dig: [G, N] -> per-window sums, a [.., G] point."""
+    def group_sum(dig, sgn):
+        """dig, sgn: [G, N] -> per-window sums, a [.., G] point."""
         order = jnp.argsort(dig, axis=-1)
         d_sorted = jnp.take_along_axis(dig, order, axis=-1)
         pts = tuple(jnp.take_along_axis(
             jnp.broadcast_to(t[:, None, :], (t.shape[0], G, N)),
             order[None], axis=-1).astype(jnp.int32) for t in points)
+        if signed:
+            s_sorted = jnp.take_along_axis(sgn, order, axis=-1)
+            # a negative digit contributes -P: negate Y on the gathered copy
+            pts = cops.select(s_sorted >= 0, pts, cops.neg(curve, pts))
         first = jnp.concatenate([
             jnp.ones((G, 1), jnp.int32),
             (d_sorted[:, 1:] != d_sorted[:, :-1]).astype(jnp.int32)], axis=-1)
@@ -338,8 +391,9 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     # Stage 1: per-window sums for ALL (scalar, window) rows.  One traced
     # group_sum serves every group (lax.scan), so compile time does not
     # grow with the batch.
-    groups = digits.reshape((W_total + pad) // G, G, N)
-    _, ws = jax.lax.scan(lambda _c, dig: (None, group_sum(dig)), None, groups)
+    groups = (digits.reshape((W_total + pad) // G, G, N),
+              signs.reshape((W_total + pad) // G, G, N))
+    _, ws = jax.lax.scan(lambda _c, gs: (None, group_sum(*gs)), None, groups)
     # ws leaves: [n_grp, D, G] -> [D, n_grp*G] -> [D, K, W]
     ws = tuple(jnp.moveaxis(t, 0, 1).reshape(t.shape[1], -1)[:, :W_total]
                .reshape(t.shape[1], K, n_windows) for t in ws)
@@ -360,15 +414,28 @@ def msm(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     return tuple(t[..., 0] for t in acc)
 
 
+def precompute_base(curve: CurveSpec, points: cops.Point) -> cops.Point:
+    """Canonicalize a fixed MSM basis ONCE into the uint8 device form `msm`
+    gathers from.  Amortizes the per-call canonicalization over every
+    commitment against the same basis (the reference precomputes windowed
+    generator powers at circuit build for the same reason,
+    src/curve/curve_msm.rs:16-52 via circuit_builder.rs:1131-1133)."""
+    return tuple(jax.block_until_ready(
+        fops.jitted('canonicalize', curve.base)(t).astype(jnp.uint8))
+        for t in points)
+
+
 @functools.lru_cache(maxsize=None)
-def msm_jit(curve: CurveSpec, window_bits: int, window_group: int = 8):
+def msm_jit(curve: CurveSpec, window_bits: int, window_group: int = 8,
+            signed: bool = False):
     return jax.jit(functools.partial(msm, curve, window_bits=window_bits,
-                                     window_group=window_group))
+                                     window_group=window_group,
+                                     signed=signed))
 
 
 def msm_chunked(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
                 window_bits: int = 8, window_group: int = 8,
-                chunk_log: int = 18) -> cops.Point:
+                chunk_log: int = 18, signed: bool = False) -> cops.Point:
     """MSM with host-side point chunking for very large N.
 
     MSM is linear over its points, so an N-point MSM is the sum of
@@ -384,7 +451,7 @@ def msm_chunked(curve: CurveSpec, points: cops.Point, scalars: jnp.ndarray,
     per-chunk Horner tail is the only duplicated work."""
     N = points[0].shape[-1]
     C = 1 << chunk_log
-    fn = msm_jit(curve, window_bits, window_group)
+    fn = msm_jit(curve, window_bits, window_group, signed)
     if N <= C:
         return fn(points, scalars)
     if N % C:

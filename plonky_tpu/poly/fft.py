@@ -194,6 +194,72 @@ def coset_ifft_t(pre: FftPrecomputation, values: jnp.ndarray, shift: int,
     return fops.mul(pre.spec, coeffs, powb)
 
 
+@functools.lru_cache(maxsize=None)
+def _four_step_subpres(spec: FieldSpec, n: int, lg_n1: int):
+    n1 = 1 << lg_n1
+    return FftPrecomputation(spec, n1), FftPrecomputation(spec, n // n1)
+
+
+@functools.lru_cache(maxsize=None)
+def four_step_twiddles(spec: FieldSpec, n: int, lg_n1: int,
+                       inverse: bool = False) -> jnp.ndarray:
+    """The middle-stage twiddle table w_n^(+-i1*k2) as a [D, n1, n2] device
+    buffer (cached: it is data-sized, so it must travel as a runtime buffer
+    like FftPrecomputation.device_tables, not as program constants).
+
+    Built ON DEVICE: host bases w_n^i1 for the n1 rows, then a doubling
+    construction along k2 (~n field muls in lg(n2) batched steps) -- a
+    Python-loop host build at n = 2^22 would take minutes."""
+    n1 = 1 << lg_n1
+    n2 = n // n1
+    lg_n = log2_strict(n)
+    g = fhost.primitive_root_of_unity(spec, lg_n)
+    if inverse:
+        g = pow(g, -1, spec.p)
+    bases = powers_device(spec, g, n1)          # [D, n1]
+    acc = fops.constant(spec, 1, (n1, 1))       # [D, n1, 1]
+    top = bases[..., None]                      # invariant: top = base^width
+    while acc.shape[-1] < n2:
+        acc = jnp.concatenate([acc, fops.mul(spec, acc, top)], axis=-1)
+        top = fops.square(spec, top)
+    return jax.block_until_ready(acc[..., :n2])
+
+
+def fft_four_step(spec: FieldSpec, x: jnp.ndarray, tw: jnp.ndarray,
+                  lg_n1: int, inverse: bool = False,
+                  tables2=None, tables1=None) -> jnp.ndarray:
+    """Single-chip four-step FFT over a domain n = n1 * n2 (n1 = 2^lg_n1).
+
+    The flat layer-vectorized FFT streams the full [D, n] array through HBM
+    once per layer with stride patterns that degrade above VMEM (measured:
+    6.4e7 butterflies/s at 2^18 vs 4.35e7 at 2^22).  The transpose
+    factorization (same decimation as parallel/fft.py:fft_sharded_domain,
+    reference: src/fft.rs:103-156) replaces the lg(n) full-size layers with
+    two batched SMALL-domain stages whose butterflies never exceed n2 (resp.
+    n1) lanes, plus one data-sized twiddle multiply and two transposes:
+
+        X[k2 + n2*k1] = sum_i1 w_n1^(i1 k1) [ w_n^(i1 k2)
+                        * (sum_i2 w_n2^(i2 k2) C[i1, i2]) ],
+        C[i1, i2] = c[i1 + n1*i2].
+
+    `tw` comes from `four_step_twiddles(spec, n, lg_n1, inverse)`; pass
+    `inverse=True` for the inverse transform (sub-IFFTs contribute
+    1/n1 * 1/n2 = 1/n, the twiddle table flips to negative powers)."""
+    n = x.shape[-1]
+    n1 = 1 << lg_n1
+    n2 = n // n1
+    assert n1 * n2 == n, (n, n1)
+    pre1, pre2 = _four_step_subpres(spec, n, lg_n1)
+    C = x.reshape(*x.shape[:-1], n2, n1)
+    C = jnp.swapaxes(C, -1, -2)                       # [.., n1, n2]
+    inner = _fft_core(pre2, C, inverse, tables=tables2)
+    y = fops.mul(spec, inner, tw)
+    yt = jnp.swapaxes(y, -1, -2)                      # [.., n2, n1]
+    out = _fft_core(pre1, yt, inverse, tables=tables1)
+    out = jnp.swapaxes(out, -1, -2)                   # [.., k1, k2]
+    return out.reshape(*out.shape[:-2], n)
+
+
 def powers_device(spec: FieldSpec, base: int, n: int) -> jnp.ndarray:
     """[base^0, .., base^(n-1)] as [D, n], computed with log2(n) batched muls."""
     lg = max(1, (n - 1).bit_length())

@@ -104,7 +104,10 @@ class CommitmentEngine:
 
     def __init__(self, curve: CurveSpec, g_points, h_point):
         self.curve = curve
-        self.g_dev = points_to_device(curve, g_points)
+        # fixed basis: canonicalize to the uint8 gather form ONCE (the
+        # prover re-commits against these generators 17+ times per proof)
+        self.g_dev = cmsm.precompute_base(
+            curve, points_to_device(curve, g_points))
         self.h = h_point
         self.n = len(g_points)
 

@@ -87,8 +87,10 @@ def test_endomorphism():
     assert pt.endomorphism() == chost.mul(pt, curve.zeta_scalar)
 
 
-@pytest.mark.parametrize("n,c", [(8, 4), (33, 8)])
-def test_msm_vs_naive(n, c):
+@pytest.mark.parametrize("n,c,signed", [(8, 4, False), (33, 8, False),
+                                        (8, 4, True), (33, 8, True),
+                                        (16, 10, True)])
+def test_msm_vs_naive(n, c, signed):
     curve = TWEEDLEDEE
     g = chost.generator(curve)
     rng = np.random.default_rng(42)
@@ -101,7 +103,8 @@ def test_msm_vs_naive(n, c):
 
     d = points_to_device(curve, pts)
     s = fops.from_ints(curve.scalar, scalars)
-    got = device_to_points(curve, cmsm.msm_jit(curve, c)(d, s))
+    got = device_to_points(
+        curve, cmsm.msm_jit(curve, c, signed=signed)(d, s))
     assert got == expected
 
 

@@ -157,3 +157,30 @@ def test_polynomial_division():
                + eval_host(SPEC, ri, z)) % p
         assert lhs == rhs
     assert len(ri) < deg_b + 1 or all(v == 0 for v in ri[deg_b:])
+
+
+@pytest.mark.parametrize("lg_n,lg_n1", [(6, 3), (8, 3), (10, 5)])
+def test_fft_four_step_vs_flat(lg_n, lg_n1):
+    """The single-chip transpose factorization must match the flat FFT
+    exactly, forward and inverse (it backs the large-n bench path)."""
+    from plonky_tpu.poly.fft import fft_four_step, four_step_twiddles
+
+    n = 1 << lg_n
+    p = SPEC.p
+    rng = np.random.default_rng(11)
+    coeffs = [int.from_bytes(rng.bytes(40), "little") % p for _ in range(n)]
+    pre = FftPrecomputation(SPEC, n)
+    dev = fops.from_ints(SPEC, coeffs)
+
+    tw = four_step_twiddles(SPEC, n, lg_n1)
+    got = fops.to_ints(SPEC, jax.jit(
+        lambda c, t: fft_four_step(SPEC, c, t, lg_n1))(dev, tw))
+    ref = fops.to_ints(SPEC, jax.jit(lambda c: fft(pre, c))(dev))
+    assert list(got) == list(ref)
+
+    twi = four_step_twiddles(SPEC, n, lg_n1, inverse=True)
+    vals = fops.from_ints(SPEC, [int(v) for v in ref])
+    back = fops.to_ints(SPEC, jax.jit(
+        lambda v, t: fft_four_step(SPEC, v, t, lg_n1, inverse=True))(
+            vals, twi))
+    assert list(back) == coeffs
